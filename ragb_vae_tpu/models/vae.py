@@ -1,0 +1,255 @@
+"""AutoencoderKL-compatible VAE in Flax (channels-last, TPU-native).
+
+Architecture parity with the diffusers `AutoencoderKL` the reference wraps
+(rgba_vae.py:249-255): conv_in -> DownEncoderBlock2D stacks
+(ResnetBlock2D = GroupNorm+SiLU+Conv x2 with 1x1 shortcut) -> mid block with
+single-head spatial attention -> GroupNorm+SiLU+conv_out producing
+2*latent_channels Gaussian params; decoder mirrors. Module names line up
+1:1 with diffusers state_dict paths so weight import is a mechanical
+rename (see models/weights.py).
+
+TPU-first choices:
+- NHWC layout end-to-end; convs lower straight onto the MXU.
+- GroupNorm statistics computed in float32 regardless of compute dtype.
+- mid-block attention is query-chunked (exact softmax, bounded memory) so
+  1024x1024 images (16k tokens at the 8x-downsampled mid block) never
+  materialize a 16k x 16k logits matrix per head in one piece.
+- optional rematerialization of resnet blocks replaces torch's
+  `enable_gradient_checkpointing` (reference rgba_vae_stage.py:306-307).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ragb_vae_tpu.models.vae_config import AutoencoderConfig
+from ragb_vae_tpu.ops.gaussian import DiagonalGaussian
+
+Array = jnp.ndarray
+
+
+def _group_norm(num_groups: int, name: str) -> nn.GroupNorm:
+    # Stats in fp32 for bf16 stability; torch's kernels accumulate in fp32 too.
+    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-6, dtype=jnp.float32, name=name)
+
+
+class ResnetBlock(nn.Module):
+    """GroupNorm -> SiLU -> Conv3x3 (x2) with additive (1x1-projected) skip."""
+
+    out_channels: int
+    num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_channels = x.shape[-1]
+        h = _group_norm(self.num_groups, "norm1")(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = _group_norm(self.num_groups, "norm2")(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv with the asymmetric (0,1)x(0,1) pad diffusers uses."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Conv(
+            self.out_channels,
+            (3, 3),
+            strides=(2, 2),
+            padding=((0, 1), (0, 1)),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbor 2x then conv3x3 (diffusers Upsample2D)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+def _chunked_attention(q: Array, k: Array, v: Array, chunk: int = 4096) -> Array:
+    """Exact single-head attention, scanned over query chunks.
+
+    q, k, v: (B, N, C). Softmax over the full key axis per query chunk, so
+    results are bit-identical to unchunked attention while peak memory is
+    O(chunk * N) instead of O(N^2).
+    """
+    b, n, c = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.asarray(c, dtype=jnp.float32))
+
+    def one_chunk(q_blk: Array) -> Array:
+        logits = jnp.einsum("bqc,bkc->bqk", q_blk.astype(jnp.float32), k.astype(jnp.float32))
+        weights = jax.nn.softmax(logits * scale, axis=-1).astype(v.dtype)
+        return jnp.einsum("bqk,bkc->bqc", weights, v)
+
+    if n <= chunk or n % chunk != 0:
+        return one_chunk(q)
+    q_blocks = q.reshape(b, n // chunk, chunk, c).transpose(1, 0, 2, 3)
+    out = jax.lax.map(one_chunk, q_blocks)
+    return out.transpose(1, 0, 2, 3).reshape(b, n, c)
+
+
+class SpatialAttention(nn.Module):
+    """Single-head spatial self-attention of the VAE mid block.
+
+    Mirrors diffusers `Attention` with group_norm + to_q/to_k/to_v/to_out
+    linears and a residual add.
+    """
+
+    channels: int
+    num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        residual = x
+        y = _group_norm(self.num_groups, "group_norm")(x).astype(self.dtype)
+        y = y.reshape(b, h * w, c)
+        q = nn.Dense(self.channels, dtype=self.dtype, name="to_q")(y)
+        k = nn.Dense(self.channels, dtype=self.dtype, name="to_k")(y)
+        v = nn.Dense(self.channels, dtype=self.dtype, name="to_v")(y)
+        attn = _chunked_attention(q, k, v)
+        out = nn.Dense(self.channels, dtype=self.dtype, name="to_out")(attn)
+        return residual + out.reshape(b, h, w, c)
+
+
+class MidBlock(nn.Module):
+    channels: int
+    num_groups: int = 32
+    add_attention: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = ResnetBlock(self.channels, self.num_groups, self.dtype, name="resnets_0")(x)
+        if self.add_attention:
+            x = SpatialAttention(self.channels, self.num_groups, self.dtype, name="attention")(x)
+        x = ResnetBlock(self.channels, self.num_groups, self.dtype, name="resnets_1")(x)
+        return x
+
+
+class Encoder(nn.Module):
+    config: AutoencoderConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cfg = self.config
+        block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(
+            x.astype(self.dtype)
+        )
+        n_blocks = len(cfg.block_out_channels)
+        for i, out_ch in enumerate(cfg.block_out_channels):
+            for j in range(cfg.layers_per_block):
+                x = block(out_ch, cfg.norm_num_groups, self.dtype, name=f"down_blocks_{i}_resnets_{j}")(x)
+            if i < n_blocks - 1:
+                x = Downsample(out_ch, self.dtype, name=f"down_blocks_{i}_downsample")(x)
+        x = MidBlock(
+            cfg.block_out_channels[-1],
+            cfg.norm_num_groups,
+            cfg.mid_block_add_attention,
+            self.dtype,
+            name="mid_block",
+        )(x)
+        x = _group_norm(cfg.norm_num_groups, "conv_norm_out")(x)
+        x = nn.silu(x).astype(self.dtype)
+        x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
+        return x
+
+
+class Decoder(nn.Module):
+    config: AutoencoderConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, z: Array) -> Array:
+        cfg = self.config
+        block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        reversed_channels = tuple(reversed(cfg.block_out_channels))
+        z = nn.Conv(reversed_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(
+            z.astype(self.dtype)
+        )
+        z = MidBlock(
+            reversed_channels[0],
+            cfg.norm_num_groups,
+            cfg.mid_block_add_attention,
+            self.dtype,
+            name="mid_block",
+        )(z)
+        n_blocks = len(reversed_channels)
+        for i, out_ch in enumerate(reversed_channels):
+            for j in range(cfg.layers_per_block + 1):
+                z = block(out_ch, cfg.norm_num_groups, self.dtype, name=f"up_blocks_{i}_resnets_{j}")(z)
+            if i < n_blocks - 1:
+                z = Upsample(out_ch, self.dtype, name=f"up_blocks_{i}_upsample")(z)
+        z = _group_norm(cfg.norm_num_groups, "conv_norm_out")(z)
+        z = nn.silu(z).astype(self.dtype)
+        z = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(z)
+        return z
+
+
+class AutoencoderKL(nn.Module):
+    """KL autoencoder with Gaussian posterior. NHWC in/out, values in [-1, 1]."""
+
+    config: AutoencoderConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        self.encoder = Encoder(self.config, self.dtype, self.remat, name="encoder")
+        self.decoder = Decoder(self.config, self.dtype, self.remat, name="decoder")
+        if self.config.use_quant_conv:
+            self.quant_conv = nn.Conv(
+                2 * self.config.latent_channels, (1, 1), dtype=self.dtype, name="quant_conv"
+            )
+        if self.config.use_post_quant_conv:
+            self.post_quant_conv = nn.Conv(
+                self.config.latent_channels, (1, 1), dtype=self.dtype, name="post_quant_conv"
+            )
+
+    def encode(self, x: Array) -> DiagonalGaussian:
+        params = self.encoder(x)
+        if self.config.use_quant_conv:
+            params = self.quant_conv(params)
+        return DiagonalGaussian.from_params(params)
+
+    def decode(self, z: Array) -> Array:
+        if self.config.use_post_quant_conv:
+            z = self.post_quant_conv(z)
+        return self.decoder(z)
+
+    def __call__(self, x: Array, key: jax.Array, *, sample: bool = True):
+        """Full forward: encode -> (sample | mode) -> decode.
+
+        Returns (reconstruction in [-1, 1], posterior).
+        """
+        posterior = self.encode(x)
+        z = posterior.sample(key, dtype=self.dtype) if sample else posterior.mode().astype(self.dtype)
+        recon = self.decode(z)
+        return recon, posterior
