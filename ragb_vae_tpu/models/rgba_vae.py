@@ -1,0 +1,202 @@
+"""RgbaVAE: RGBA-widened AutoencoderKL with the AlphaVAE training loss.
+
+Public-API parity with the reference `RgbaVAE` (rgba_vae.py:194-341):
+`from_pretrained_rgb`, `forward`, `loss`, `reconstruct`, plus the
+compositing helpers re-exported from ops. JAX idiom: the class is a static
+container (module + config + loss weights); parameters travel explicitly
+and PRNG keys replace torch's implicit RNG.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ragb_vae_tpu.models.losses import (
+    DEFAULT_EB,
+    DEFAULT_EB2,
+    alphavae_reconstruction_loss,
+    reduce_loss,
+)
+from ragb_vae_tpu.models.vae import AutoencoderKL
+from ragb_vae_tpu.models.vae_config import AutoencoderConfig
+from ragb_vae_tpu.models.weights import load_autoencoder_params
+from ragb_vae_tpu.ops.gaussian import DiagonalGaussian
+from ragb_vae_tpu.ops.rgba import (
+    composite_over_black,
+    composite_over_white,
+    ensure_alpha,
+    from_vae_range,
+    to_vae_range,
+)
+
+Array = jnp.ndarray
+
+__all__ = [
+    "RgbaVAE",
+    "composite_over_black",
+    "composite_over_white",
+]
+
+
+@dataclasses.dataclass
+class RgbaVAE:
+    """Static wrapper; parameters are passed explicitly to every method."""
+
+    config: AutoencoderConfig
+    beta: float = 0.25
+    alpha_loss_weight: float = 1.0
+    alpha_l1_weight: float = 0.0
+    rgb_loss_weight: float = 1.0
+    white_bg_weight: float = 0.0
+    black_bg_weight: float = 0.0
+    loss_reduce_mean: bool = False
+    use_naive_mse: bool = False
+    eb: Tuple[float, float, float] = DEFAULT_EB
+    eb2: Tuple[float, float, float] = DEFAULT_EB2
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    def __post_init__(self):
+        if len(self.eb) != 3 or len(self.eb2) != 3:
+            raise ValueError("custom_eb and custom_eb2 must each provide three channel weights.")
+        self.module = AutoencoderKL(self.config, dtype=self.dtype, remat=self.remat)
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_pretrained_rgb(
+        cls,
+        model_name_or_path: str,
+        subfolder: Optional[str] = "vae",
+        *,
+        alpha_bias_init: float = 0.0,
+        beta: float = 0.25,
+        alpha_loss_weight: float = 1.0,
+        alpha_l1_weight: float = 0.0,
+        rgb_loss_weight: float = 1.0,
+        white_bg_weight: float = 0.0,
+        black_bg_weight: float = 0.0,
+        loss_reduce_mean: bool = False,
+        use_naive_mse: bool = False,
+        custom_eb: Optional[Sequence[float]] = None,
+        custom_eb2: Optional[Sequence[float]] = None,
+        dtype: jnp.dtype = jnp.float32,
+        remat: bool = False,
+    ) -> Tuple["RgbaVAE", dict]:
+        """Load an RGB (or already-RGBA) checkpoint, widening to RGBA.
+
+        Returns (model, params). Unlike the reference's
+        ignore_mismatched_sizes + restore dance (rgba_vae.py:249-257), the
+        load is deterministic: RGB convs are widened with an explicit
+        zero-init alpha path; RGBA checkpoints load verbatim.
+        """
+        config, params = load_autoencoder_params(
+            model_name_or_path,
+            subfolder,
+            adapt_to_rgba=True,
+            alpha_bias_init=alpha_bias_init,
+        )
+        model = cls(
+            config=config,
+            beta=beta,
+            alpha_loss_weight=alpha_loss_weight,
+            alpha_l1_weight=alpha_l1_weight,
+            rgb_loss_weight=rgb_loss_weight,
+            white_bg_weight=white_bg_weight,
+            black_bg_weight=black_bg_weight,
+            loss_reduce_mean=loss_reduce_mean,
+            use_naive_mse=use_naive_mse,
+            eb=tuple(custom_eb) if custom_eb is not None else DEFAULT_EB,
+            eb2=tuple(custom_eb2) if custom_eb2 is not None else DEFAULT_EB2,
+            dtype=dtype,
+            remat=remat,
+        )
+        return model, params
+
+    def init_params(self, key: jax.Array, *, image_size: int = 64) -> dict:
+        """Random init (for tests / training from scratch)."""
+        c = self.config.in_channels
+        x = jnp.zeros((1, image_size, image_size, c), dtype=jnp.float32)
+        variables = self.module.init(key, x, jax.random.PRNGKey(0))
+        return variables["params"]
+
+    # ------------------------------------------------------------------
+    # Forward paths (parity with rgba_vae.py:274-281,338-341)
+    # ------------------------------------------------------------------
+    def forward(self, params, x: Array, key: jax.Array, *, sample: bool = True):
+        """[0,1] RGBA/RGB in -> ([0,1] clamped RGBA recon, posterior)."""
+        x_rgba = ensure_alpha(x)
+        vae_input = to_vae_range(x_rgba)
+        recon, posterior = self.module.apply({"params": params}, vae_input, key, sample=sample)
+        recon = jnp.clip(from_vae_range(recon.astype(jnp.float32)), 0.0, 1.0)
+        return recon, posterior
+
+    def __call__(self, params, x: Array, key: jax.Array):
+        return self.forward(params, x, key)
+
+    def encode(self, params, x_vae_range: Array) -> DiagonalGaussian:
+        """Raw encode on [-1,1] inputs (the training loop's entry point)."""
+        return self.module.apply(
+            {"params": params}, x_vae_range, method=lambda m, v: m.encode(v)
+        )
+
+    def decode(self, params, z: Array) -> Array:
+        """Raw decode -> [-1,1] output (training loop's entry point)."""
+        return self.module.apply({"params": params}, z, method=lambda m, v: m.decode(v))
+
+    def reconstruct(self, params, x: Array, key: jax.Array) -> Array:
+        recon, _ = self.forward(params, x, key)
+        return recon
+
+    # ------------------------------------------------------------------
+    # Inline loss (parity with rgba_vae.py:283-336)
+    # ------------------------------------------------------------------
+    def loss(self, recon: Array, target: Array, posterior: DiagonalGaussian) -> Array:
+        """Weighted sum of Eq.9 recon + bg-composite MSE + alpha MSE/L1 + beta*KL.
+
+        `recon`/`target` in [0,1] like the reference's RgbaVAE.loss.
+        """
+        target_rgba = ensure_alpha(target).astype(jnp.float32)
+        recon_rgba = ensure_alpha(recon).astype(jnp.float32)
+        target_scaled = target_rgba * 2.0 - 1.0
+        recon_scaled = recon_rgba * 2.0 - 1.0
+
+        total = jnp.asarray(0.0, dtype=jnp.float32)
+        if self.rgb_loss_weight > 0.0:
+            if self.use_naive_mse:
+                base = reduce_loss(
+                    (recon_rgba[..., :3] - target_rgba[..., :3]) ** 2,
+                    reduce_mean=self.loss_reduce_mean,
+                )
+            else:
+                base = alphavae_reconstruction_loss(
+                    recon_scaled,
+                    target_scaled,
+                    eb=self.eb,
+                    eb2=self.eb2,
+                    reduce_mean=self.loss_reduce_mean,
+                )
+            total = total + self.rgb_loss_weight * base
+
+        if self.white_bg_weight > 0.0:
+            total = total + self.white_bg_weight * jnp.mean(
+                (composite_over_white(recon_rgba) - composite_over_white(target_rgba)) ** 2
+            )
+        if self.black_bg_weight > 0.0:
+            total = total + self.black_bg_weight * jnp.mean(
+                (composite_over_black(recon_rgba) - composite_over_black(target_rgba)) ** 2
+            )
+        if self.alpha_loss_weight > 0.0:
+            total = total + self.alpha_loss_weight * jnp.mean(
+                (recon_rgba[..., 3:] - target_rgba[..., 3:]) ** 2
+            )
+        if self.alpha_l1_weight > 0.0:
+            total = total + self.alpha_l1_weight * jnp.mean(
+                jnp.abs(recon_rgba[..., 3:] - target_rgba[..., 3:])
+            )
+        total = total + self.beta * jnp.mean(posterior.kl())
+        return total
