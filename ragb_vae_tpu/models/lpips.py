@@ -1,0 +1,166 @@
+"""LPIPS perceptual loss (VGG16 backbone) in Flax.
+
+Replaces `lpips_lib.LPIPS(net="vgg")` (reference losses.py:50-57,85-107):
+the same architecture — torchvision VGG16 feature slices, channel-unit-
+normalized activations, squared diffs through learned 1x1 "lin" heads,
+spatial mean, layer sum — as an XLA-compiled NHWC network.
+
+Weights are imported from a saved `lpips.LPIPS(net="vgg").state_dict()`
+(.pt or .safetensors); there is no network access on the TPU pod, so the
+checkpoint must be exported once on any machine with the `lpips` package
+and pointed to via `training.lpips_weights`. Without weights the
+perceptual term is disabled (the reference likewise gates on the lpips
+package being installed).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ragb_vae_tpu.models.losses import perceptual_composites
+
+Array = jnp.ndarray
+
+# torchvision vgg16.features conv indices per LPIPS slice (lpips vgg16
+# wrapper keeps the original Sequential indices inside each slice).
+_SLICES: List[List[int]] = [[0, 2], [5, 7], [10, 12, 14], [17, 19, 21], [24, 26, 28]]
+_POOL_BEFORE = {5, 10, 17, 24}  # maxpool sits before these convs
+
+# lpips ScalingLayer constants (lpips/lpips.py): input in [-1,1].
+_SHIFT = np.array([-0.030, -0.088, -0.188], dtype=np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], dtype=np.float32)
+
+
+class LPIPSParams:
+    """Flat numpy weight store: conv kernels/biases (HWIO) + lin heads."""
+
+    def __init__(self, convs: Dict[int, Dict[str, np.ndarray]], lins: List[np.ndarray]):
+        self.convs = convs
+        self.lins = lins  # per-slice (C,) non-negative channel weights
+
+
+def _normalize_tensor(feat: Array, eps: float = 1e-10) -> Array:
+    norm = jnp.sqrt(jnp.sum(feat**2, axis=-1, keepdims=True))
+    return feat / (norm + eps)
+
+
+def _max_pool_2x2(x: Array) -> Array:
+    from jax import lax
+
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def lpips_features(x: Array, params: LPIPSParams) -> List[Array]:
+    """Run VGG16 features, returning the five slice outputs (post-ReLU)."""
+    from jax import lax
+
+    h = x
+    outputs: List[Array] = []
+    for slice_convs in _SLICES:
+        for idx in slice_convs:
+            if idx in _POOL_BEFORE:
+                h = _max_pool_2x2(h)
+            w = jnp.asarray(params.convs[idx]["kernel"])  # HWIO
+            b = jnp.asarray(params.convs[idx]["bias"])
+            h = lax.conv_general_dilated(
+                h,
+                w,
+                window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b
+            h = jnp.maximum(h, 0.0)
+        outputs.append(h)
+    return outputs
+
+
+def lpips_distance(x: Array, y: Array, params: LPIPSParams) -> Array:
+    """Per-sample LPIPS distance, inputs NHWC RGB in [-1, 1] -> (B,)."""
+    shift = jnp.asarray(_SHIFT)
+    scale = jnp.asarray(_SCALE)
+    x_in = (x.astype(jnp.float32) - shift) / scale
+    y_in = (y.astype(jnp.float32) - shift) / scale
+    feats_x = lpips_features(x_in, params)
+    feats_y = lpips_features(y_in, params)
+    total = jnp.zeros(x.shape[0], dtype=jnp.float32)
+    for fx, fy, lin in zip(feats_x, feats_y, params.lins):
+        diff = (_normalize_tensor(fx) - _normalize_tensor(fy)) ** 2
+        weighted = diff * jnp.asarray(lin)
+        total = total + jnp.mean(jnp.sum(weighted, axis=-1), axis=(1, 2))
+    return total
+
+
+def load_lpips_params(path: Union[str, Path]) -> LPIPSParams:
+    """Import a torch `lpips.LPIPS(net='vgg').state_dict()` checkpoint.
+
+    Accepts `net.sliceK.N.weight` (full lpips dump) or `features.N.weight`
+    (bare torchvision vgg16) conv keys; lin heads `linK.model.1.weight`
+    are optional (uniform weights = lpips baseline mode when absent).
+    """
+    from ragb_vae_tpu.models.weights import load_torch_state
+
+    state = load_torch_state(path)
+    convs: Dict[int, Dict[str, np.ndarray]] = {}
+    for key, value in state.items():
+        parts = key.split(".")
+        idx: Optional[int] = None
+        if parts[0] == "net" and parts[1].startswith("slice") and parts[-1] in ("weight", "bias"):
+            idx = int(parts[2])
+        elif parts[0] == "features" and parts[-1] in ("weight", "bias"):
+            idx = int(parts[1])
+        if idx is None:
+            continue
+        entry = convs.setdefault(idx, {})
+        arr = np.asarray(value, dtype=np.float32)
+        if parts[-1] == "weight":
+            entry["kernel"] = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        else:
+            entry["bias"] = arr
+
+    needed = [i for s in _SLICES for i in s]
+    missing = [i for i in needed if i not in convs or "kernel" not in convs[i]]
+    if missing:
+        raise ValueError(f"LPIPS checkpoint {path} missing VGG conv layers {missing}.")
+
+    lins: List[np.ndarray] = []
+    for k, slice_convs in enumerate(_SLICES):
+        lin_key = f"lin{k}.model.1.weight"
+        alt_key = f"lins.{k}.model.1.weight"
+        if lin_key in state or alt_key in state:
+            w = np.asarray(state.get(lin_key, state.get(alt_key)), dtype=np.float32)
+            lins.append(np.maximum(w.reshape(-1), 0.0))
+        else:
+            c_out = convs[slice_convs[-1]]["kernel"].shape[-1]
+            lins.append(np.full((c_out,), 1.0 / c_out, dtype=np.float32))
+    return LPIPSParams(convs, lins)
+
+
+def maybe_build_lpips(
+    weights_path: Optional[Union[str, Path]],
+) -> Optional[Callable[[Array, Array], Array]]:
+    """Build the training-loop perceptual term, or None if unavailable.
+
+    Returned fn matches `AlphaVaeLoss.perceptual_loss` (losses.py:85-107):
+    inputs are RGBA in [-1,1]; LPIPS is measured over black and white
+    composites (fed unnormalized, reproducing the reference's quirk of
+    passing [0,1]-ish composites where lpips expects [-1,1]).
+    """
+    if not weights_path:
+        return None
+    path = Path(weights_path)
+    if not path.exists():
+        return None
+    params = load_lpips_params(path)
+
+    def perceptual_loss(pred: Array, target: Array) -> Array:
+        pred_black, target_black, pred_white, target_white = perceptual_composites(pred, target)
+        loss_black = lpips_distance(target_black, pred_black, params)
+        loss_white = lpips_distance(target_white, pred_white, params)
+        return 0.5 * (loss_black.mean() + loss_white.mean())
+
+    return perceptual_loss

@@ -1,0 +1,35 @@
+"""Mesh / sharding / gradient-accumulation layer.
+
+TPU-native stand-in for the reference's Accelerate + DeepSpeed ZeRO-2 +
+NCCL stack (SURVEY.md §2.2-2.3): one SPMD program over a `Mesh`, batch
+sharded on the "data" axis, optimizer state ZeRO-sharded via GSPMD
+annotations, gradient accumulation as a scan.
+"""
+from ragb_vae_tpu.parallel.grad_accum import accumulated_grads, split_microbatches
+from ragb_vae_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    create_mesh,
+    pad_batch_to_mesh,
+    replicated,
+    shard_batch,
+)
+from ragb_vae_tpu.parallel.sharding import (
+    replicated_tree,
+    shard_tree,
+    zero_sharding,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "accumulated_grads",
+    "batch_sharding",
+    "create_mesh",
+    "pad_batch_to_mesh",
+    "replicated",
+    "replicated_tree",
+    "shard_batch",
+    "shard_tree",
+    "split_microbatches",
+    "zero_sharding",
+]

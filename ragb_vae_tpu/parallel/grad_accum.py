@@ -1,0 +1,68 @@
+"""Gradient accumulation as a jittable scan over microbatches.
+
+Replaces `accelerator.accumulate(model)` (reference rgba_vae_stage.py:265,434;
+flux_kontext_textalpha_lora.py:126,294): instead of N Python-side forward/
+backward passes with a no-sync context, the microbatch loop is a
+`lax.scan` inside one compiled step — gradients accumulate in-register/HBM
+and the cross-chip reduction happens once, after the scan.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+PyTree = Any
+
+
+def split_microbatches(batch: PyTree, num_micro: int) -> PyTree:
+    """Reshape every (B, ...) leaf to (num_micro, B//num_micro, ...)."""
+    def reshape(leaf):
+        b = leaf.shape[0]
+        if b % num_micro != 0:
+            raise ValueError(f"Batch {b} not divisible by {num_micro} microbatches.")
+        return leaf.reshape((num_micro, b // num_micro) + leaf.shape[1:])
+
+    return jax.tree_util.tree_map(reshape, batch)
+
+
+def accumulated_grads(
+    loss_fn: Callable[[PyTree, PyTree, jax.Array], Tuple[jax.Array, PyTree]],
+    params: PyTree,
+    batch: PyTree,
+    key: jax.Array,
+    num_micro: int,
+) -> Tuple[jax.Array, PyTree, PyTree]:
+    """Mean loss/grads/aux over `num_micro` microbatches.
+
+    `loss_fn(params, microbatch, key) -> (loss, aux)` with scalar loss and
+    scalar-leaf aux. Returns (loss, aux, grads), all microbatch means.
+    """
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    if num_micro <= 1:
+        (loss, aux), grads = grad_fn(params, batch, key)
+        return loss, aux, grads
+
+    micro = split_microbatches(batch, num_micro)
+    keys = jax.random.split(key, num_micro)
+
+    def body(carry, xs):
+        acc_loss, acc_aux, acc_grads = carry
+        mb, k = xs
+        (loss, aux), grads = grad_fn(params, mb, k)
+        acc = (
+            acc_loss + loss,
+            jax.tree_util.tree_map(jnp.add, acc_aux, aux),
+            jax.tree_util.tree_map(jnp.add, acc_grads, grads),
+        )
+        return acc, None
+
+    first_mb = jax.tree_util.tree_map(lambda x: x[0], micro)
+    (loss0, aux0), grads0 = grad_fn(params, first_mb, keys[0])
+    rest = jax.tree_util.tree_map(lambda x: x[1:], micro)
+    (loss, aux, grads), _ = jax.lax.scan(body, (loss0, aux0, grads0), (rest, keys[1:]))
+
+    inv = 1.0 / num_micro
+    scale = lambda t: jax.tree_util.tree_map(lambda x: x * inv, t)
+    return loss * inv, scale(aux), scale(grads)

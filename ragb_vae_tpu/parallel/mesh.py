@@ -1,0 +1,61 @@
+"""Device mesh construction and canonical shardings.
+
+TPU-native replacement for the reference's Accelerate/NCCL process-group
+setup (rgba_vae_stage.py:251-268): one SPMD program over a
+`jax.sharding.Mesh` instead of N processes with torch DDP. The default mesh
+is 1-D ("data",) because data parallelism is the only model parallelism the
+reference uses (SURVEY.md §2.2); extra axes can be added without touching
+call sites that use the helpers below.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(
+    shape: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = (DATA_AXIS,),
+    *,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a Mesh over all (or the given) devices.
+
+    With no `shape`, a 1-D mesh spanning every device. ICI carries the
+    collectives inside a slice; a multi-slice job would put the slower DCN
+    axis outermost — callers control that via `shape` ordering.
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devs),) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(shape)) != len(devs):
+        raise ValueError(f"Mesh shape {tuple(shape)} does not cover {len(devs)} devices.")
+    grid = np.asarray(devs).reshape(shape)
+    return Mesh(grid, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dimension across the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully replicated across the mesh (params, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def pad_batch_to_mesh(batch_size: int, mesh: Mesh, axis: str = DATA_AXIS) -> int:
+    """Smallest batch >= batch_size divisible by the data-axis size."""
+    n = mesh.shape[axis]
+    return -(-batch_size // n) * n
+
+
+def shard_batch(arrays, mesh: Mesh, axis: str = DATA_AXIS):
+    """device_put a pytree of host arrays with batch-dim sharding."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), arrays)

@@ -1,0 +1,85 @@
+"""Checkpoint save/load for training state.
+
+The reference saves weights only — `rgba_vae.pt` + HF dir, no optimizer
+state, so "resume" is re-init from weights (SURVEY.md §5.4). We keep the
+HF-format export bit-compatible (torch-key safetensors readable by
+diffusers) and ADD true resume: optimizer state + step are serialized via
+flax msgpack, fixing the reference's missing-resume gap.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional, Tuple, Union
+
+import jax
+from flax import serialization
+
+from ragb_vae_tpu.models.vae_config import AutoencoderConfig
+from ragb_vae_tpu.models.weights import save_autoencoder_params
+
+PyTree = Any
+
+STATE_FILE = "train_state.msgpack"
+META_FILE = "train_state.json"
+HF_SUBDIR = "rgba_vae_hf"
+
+
+def checkpoint_dir(base: Union[str, Path], step: Optional[int] = None) -> Path:
+    """`ckpt_dir/step_{NNNNNNN}` naming parity (rgba_vae_stage.py:886)."""
+    base = Path(base)
+    return base if step is None else base / f"step_{step:07d}"
+
+
+def save_train_checkpoint(
+    directory: Union[str, Path],
+    *,
+    config: AutoencoderConfig,
+    params: PyTree,
+    opt_state: Optional[PyTree] = None,
+    step: int = 0,
+    extra_meta: Optional[dict] = None,
+) -> Path:
+    """Write HF-format weights (+ optional resume state) under `directory`."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    host_params = jax.device_get(params)
+    save_autoencoder_params(config, host_params, directory / HF_SUBDIR)
+    meta = {"step": int(step)}
+    if extra_meta:
+        meta.update(extra_meta)
+    if opt_state is not None:
+        host_opt = jax.device_get(opt_state)
+        (directory / STATE_FILE).write_bytes(serialization.to_bytes(host_opt))
+    (directory / META_FILE).write_text(json.dumps(meta, indent=2))
+    return directory
+
+
+def load_train_checkpoint(
+    directory: Union[str, Path],
+    *,
+    opt_state_template: Optional[PyTree] = None,
+) -> Tuple[AutoencoderConfig, PyTree, Optional[PyTree], dict]:
+    """Returns (config, params, opt_state-or-None, meta)."""
+    from ragb_vae_tpu.models.weights import load_autoencoder_params
+
+    directory = Path(directory)
+    config, params = load_autoencoder_params(directory / HF_SUBDIR)
+    meta = {}
+    meta_path = directory / META_FILE
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+    opt_state = None
+    state_path = directory / STATE_FILE
+    if state_path.exists() and opt_state_template is not None:
+        opt_state = serialization.from_bytes(opt_state_template, state_path.read_bytes())
+    return config, params, opt_state, meta
+
+
+def latest_checkpoint(base: Union[str, Path]) -> Optional[Path]:
+    """Most recent `step_*` dir under `base` (for auto-resume)."""
+    base = Path(base)
+    if not base.exists():
+        return None
+    candidates = sorted(p for p in base.iterdir() if p.is_dir() and p.name.startswith("step_"))
+    return candidates[-1] if candidates else None

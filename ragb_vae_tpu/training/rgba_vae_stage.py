@@ -1,0 +1,670 @@
+"""RGBA-VAE training stage (Stage 1) — TPU-native step loop.
+
+Behavioral parity with the reference `train_rgba_vae`
+(src/training/rgba_vae_stage.py:242-572) re-architected for XLA:
+
+- One SPMD program over a `Mesh(("data",))` replaces the
+  Accelerator/DeepSpeed process group; the batch is sharded on the data
+  axis and XLA inserts the gradient reduction (NCCL all-reduce equivalent).
+- The entire hot loop body (triplet -> encode -> sample -> decode -> loss
+  -> clip -> AdamW) is one jitted function per bucket shape
+  (`vae_step.make_train_step`), with optimizer state ZeRO-sharded
+  (DeepSpeed ZeRO-2 equivalent) and grad accumulation as an in-step scan.
+- Host keeps only data loading (threaded PIL decode + prefetch) and
+  logging; metrics are fetched at log cadence so device dispatch stays
+  async. The reference's per-step `_ensure_finite` NaN guard
+  (rgba_vae_stage.py:38-44) runs whenever metrics are materialized
+  (`nan_check_every`, default = log_every; set 1 for strict parity).
+"""
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ragb_vae_tpu.config import dtype_from_str
+from ragb_vae_tpu.data.component_dataset import create_component_dataloader
+from ragb_vae_tpu.data.bucket_dataset import MixedBucketDataset
+from ragb_vae_tpu.data.loader import DataLoader, default_collate
+from ragb_vae_tpu.data.manifest import build_bucket_entries
+from ragb_vae_tpu.data.multilayer_dataset import MultiLayerDataset, multilayer_collate
+from ragb_vae_tpu.data.sampler import BucketBatchSampler
+from ragb_vae_tpu.data.transforms import RandomBackgroundBlend
+from ragb_vae_tpu.models.losses import AlphaVaeLossConfig
+from ragb_vae_tpu.models.rgba_vae import RgbaVAE
+from ragb_vae_tpu.ops.rgba import composite_over_checkerboard
+from ragb_vae_tpu.parallel import create_mesh, batch_sharding, replicated
+from ragb_vae_tpu.training import checkpoint as ckpt_lib
+from ragb_vae_tpu.training.vae_step import (
+    VaeStepConfig,
+    init_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+Array = jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Guards / logging helpers
+# ---------------------------------------------------------------------------
+def ensure_finite(value: float, name: str, *, epoch: int, step: int) -> None:
+    """Host-side NaN/Inf guard (reference `_ensure_finite`,
+    rgba_vae_stage.py:38-44): raises and kills the run."""
+    if not np.isfinite(value):
+        raise FloatingPointError(
+            f"Non-finite {name}={value!r} at epoch {epoch} step {step}."
+        )
+
+
+def log_batch_and_buckets(
+    *,
+    batch_size: int,
+    grad_accum: int,
+    num_devices: int,
+    train_loader: Optional[DataLoader],
+) -> None:
+    """Startup diagnostics (reference `_log_batch_and_buckets`,
+    rgba_vae_stage.py:51-82): effective batch math + top-5 bucket occupancy."""
+    effective = batch_size * grad_accum * num_devices
+    print(
+        f"[RGBA-VAE] batch/device {batch_size} x grad_accum {grad_accum} "
+        f"x devices {num_devices} = effective batch {effective}"
+    )
+    dataset = getattr(train_loader, "dataset", None)
+    buckets = getattr(dataset, "bucket_to_indices", None)
+    if buckets:
+        top = sorted(buckets.items(), key=lambda kv: -len(kv[1]))[:5]
+        occupancy = ", ".join(f"{k}:{len(v)}" for k, v in top)
+        print(f"[RGBA-VAE] top-5 buckets: {occupancy} ({len(buckets)} buckets total)")
+
+
+# ---------------------------------------------------------------------------
+# Dataloaders (parity with build_dataloader, rgba_vae_stage.py:133-239)
+# ---------------------------------------------------------------------------
+def build_dataloader(cfg: Dict[str, Any], *, split: Optional[str] = None) -> DataLoader:
+    data_cfg = cfg.get("data", {})
+    source = data_cfg.get("source", "multilayer")
+    target_split = split or "train"
+    train_mode = target_split == "train"
+    val_shuffle = bool(data_cfg.get("val_shuffle", False))
+    seed = data_cfg.get("seed")
+
+    if source == "bucket":
+        dataset_kwargs = data_cfg.get("dataset_kwargs", {"include_metadata": False})
+        val_dataset_kwargs = data_cfg.get("val_dataset_kwargs", dataset_kwargs)
+        use_mixed = bool(data_cfg.get("bucket_datasets"))
+
+        if target_split == "val":
+            split_name = data_cfg.get("bucket_val_split", "val")
+            shuffle = val_shuffle
+            extra_kwargs = val_dataset_kwargs
+        else:
+            split_name = data_cfg.get("bucket_split", "train")
+            shuffle = data_cfg.get("shuffle", True)
+            extra_kwargs = dataset_kwargs
+
+        transform = None
+        if train_mode:
+            blend_prob = float(data_cfg.get("background_blend_prob", 0.0))
+            if blend_prob > 0.0:
+                targets = data_cfg.get("background_blend_targets", ["component", "composite"])
+                color_range = tuple(data_cfg.get("background_color_range", [0.2, 0.9]))
+                transform = RandomBackgroundBlend(
+                    prob=blend_prob, keys=targets, color_range=color_range, seed=seed
+                )
+
+        if not use_mixed:
+            return create_component_dataloader(
+                root_dir=data_cfg.get("bucket_root", "data/rgba_layers"),
+                manifest_path=data_cfg.get("bucket_manifest"),
+                split=split_name,
+                batch_size=data_cfg.get("batch_size", 4),
+                shuffle=shuffle,
+                num_workers=data_cfg.get("num_workers", 4),
+                limit=data_cfg.get("limit"),
+                transform=transform,
+                dataset_kwargs=extra_kwargs,
+                seed=seed,
+            )
+
+        bucket_entries = build_bucket_entries(
+            data_cfg.get("bucket_datasets", []), split=split_name
+        )
+        if not bucket_entries:
+            raise ValueError("No bucket entries found for configured bucket_datasets.")
+        limit = data_cfg.get("limit")
+        if limit is not None:
+            bucket_entries = bucket_entries[: int(limit)]
+
+        dataset = MixedBucketDataset(
+            root_dir=data_cfg.get("bucket_root", "data/rgba_layers"),
+            entries=bucket_entries,
+            include_metadata=extra_kwargs.get("include_metadata", False),
+            include_background=extra_kwargs.get("include_background", False),
+            blend_component_to_white=extra_kwargs.get("blend_component_to_white", False),
+            transform=transform,
+        )
+        batch_sampler = BucketBatchSampler(
+            dataset.bucket_to_indices,
+            batch_size=data_cfg.get("batch_size", 4),
+            shuffle=shuffle,
+            drop_last=bool(data_cfg.get("drop_last", False)),
+            interleave=bool(data_cfg.get("interleave_buckets", False)),
+            seed=seed,
+        )
+        return DataLoader(
+            dataset,
+            batch_sampler=batch_sampler,
+            num_workers=data_cfg.get("num_workers", 4),
+            collate_fn=default_collate,
+        )
+
+    ds = MultiLayerDataset(
+        rendered_root=Path(data_cfg["rendered_root"]),
+        json_root=Path(data_cfg["json_root"]),
+        alpha_threshold=data_cfg.get("alpha_threshold", 100),
+        max_samples=data_cfg.get("max_samples"),
+    )
+    should_shuffle = train_mode or (target_split == "val" and val_shuffle)
+    return DataLoader(
+        ds,
+        batch_size=data_cfg.get("batch_size", 1),
+        shuffle=should_shuffle,
+        num_workers=data_cfg.get("num_workers", 4),
+        collate_fn=multilayer_collate,
+        seed=seed,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch construction (parity with build_training_batch, :575-603) — host side
+# so the jitted step sees static shapes.
+# ---------------------------------------------------------------------------
+def build_training_batch(
+    batch: Dict[str, Any],
+    *,
+    background_sample_prob: float = 0.0,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Concat component+composite (+prob-sampled background) -> (N, H, W, 4)."""
+    tensors: List[np.ndarray] = []
+    if "component" in batch and "composite" in batch:
+        tensors.extend([batch["component"], batch["composite"]])
+    elif "composite" in batch:
+        tensors.append(batch["composite"])
+    else:
+        raise ValueError("Batch must contain 'composite' tensor for training.")
+    inputs = np.concatenate([np.asarray(t) for t in tensors], axis=0)
+
+    if background_sample_prob > 0.0 and "background" in batch:
+        background = np.asarray(batch["background"])
+        if background.ndim == 3:
+            background = background[None]
+        if background.shape[-1] != 4:
+            raise ValueError("Background tensor is expected to have 4 channels (RGBA).")
+        rng = rng or np.random.default_rng()
+        mask = rng.random(background.shape[0]) < background_sample_prob
+        if mask.any():
+            inputs = np.concatenate([inputs, background[mask]], axis=0)
+    return inputs
+
+
+def pad_to_multiple(arr: np.ndarray, multiple: int) -> np.ndarray:
+    """Cycle-pad the batch dim so it divides the mesh's data axis.
+
+    The reference never pads (NCCL DP tolerates ragged per-rank batches);
+    GSPMD batch sharding needs divisibility. Wrapped duplicates slightly
+    overweight early samples in the loss mean — bounded by (m-1)/N.
+    """
+    n = arr.shape[0]
+    if multiple <= 1 or n % multiple == 0:
+        return arr
+    pad = multiple - (n % multiple)
+    reps = -(-pad // n)
+    extra = np.concatenate([arr] * reps, axis=0)[:pad]
+    return np.concatenate([arr, extra], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Visual artifacts (PIL-based; parity with visualize_dataloader_samples
+# :628-687 and save_validation_grid :798-872)
+# ---------------------------------------------------------------------------
+def _to_uint8(img01: np.ndarray) -> np.ndarray:
+    return (np.clip(img01, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+
+def _save_png(img01: np.ndarray, path: Path) -> None:
+    from PIL import Image
+
+    Image.fromarray(_to_uint8(img01)).save(path)
+
+
+def visualize_dataloader_samples(
+    dataloader: DataLoader,
+    *,
+    limit: int = 150,
+    output_dir: str = "outputs/sample_vis",
+    nrow: int = 10,
+) -> int:
+    """Dump checkerboard-composited RGBA samples; returns count saved."""
+    del nrow  # reference renders one file per sample too; kept for API parity
+    target_dir = Path(output_dir)
+    target_dir.mkdir(parents=True, exist_ok=True)
+    count = 0
+    for batch in dataloader:
+        tensor = batch.get("composite", batch.get("component"))
+        if tensor is None:
+            continue
+        arr = np.asarray(tensor)
+        if arr.ndim == 3:
+            arr = arr[None]
+        if arr.min() < -0.01 or arr.max() > 1.01:
+            arr = (arr + 1.0) * 0.5
+        composed = np.asarray(composite_over_checkerboard(jnp.asarray(arr)))
+        for img in composed:
+            _save_png(img, target_dir / f"sample_{count:04d}.png")
+            count += 1
+            if count >= limit:
+                break
+        if count >= limit:
+            break
+    print(f"[RGBA-VAE] saved checkerboard previews to {target_dir} ({count} files)")
+    return count
+
+
+def save_validation_grid(
+    samples: List[Dict[str, np.ndarray]],
+    *,
+    epoch: int,
+    step: Optional[int],
+    output_dir: str,
+) -> Path:
+    """GT | recon (checkerboard-composited) | alpha-diff rows, one PNG."""
+    from PIL import Image
+
+    panels = []
+    for sample in samples:
+        gt = np.asarray(sample["gt"], dtype=np.float32)
+        recon = np.asarray(sample["recon"], dtype=np.float32)
+        gt_c = np.asarray(composite_over_checkerboard(jnp.asarray(gt[None])))[0]
+        rc_c = np.asarray(composite_over_checkerboard(jnp.asarray(recon[None])))[0]
+        alpha_diff = np.abs(gt[..., 3:] - recon[..., 3:])
+        alpha_rgb = np.repeat(alpha_diff, 3, axis=-1)
+        panels.append(np.concatenate([gt_c, rc_c, alpha_rgb], axis=1))
+    max_w = max(p.shape[1] for p in panels)
+    padded = [
+        np.pad(p, ((0, 0), (0, max_w - p.shape[1]), (0, 0))) if p.shape[1] < max_w else p
+        for p in panels
+    ]
+    grid = np.concatenate(padded, axis=0)
+
+    out_dir = Path(output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    name = (
+        f"val_recon_epoch_{epoch}_step_{step}.png" if step is not None else f"val_recon_epoch_{epoch}.png"
+    )
+    out_path = out_dir / name
+    Image.fromarray(_to_uint8(grid)).save(out_path)
+    print(f"[RGBA-VAE][val] saved visualization to {out_path}")
+    return out_path
+
+
+# ---------------------------------------------------------------------------
+# Validation (parity with evaluate_rgba_vae, :718-784)
+# ---------------------------------------------------------------------------
+def evaluate_rgba_vae(
+    model: RgbaVAE,
+    params,
+    dataloader: DataLoader,
+    *,
+    epoch: int,
+    eval_cfg: Dict[str, Any],
+    global_step: Optional[int] = None,
+    mesh=None,
+    eval_step=None,
+    key: Optional[jax.Array] = None,
+) -> Dict[str, float]:
+    eval_step = eval_step or make_eval_step(model, mesh=mesh)
+    key = key if key is not None else jax.random.PRNGKey(0)
+    max_batches = eval_cfg.get("val_max_batches")
+    n_devices = mesh.devices.size if mesh is not None else 1
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    psnr_white: List[np.ndarray] = []
+    psnr_black: List[np.ndarray] = []
+    alpha_l1: List[np.ndarray] = []
+    viz: List[Dict[str, np.ndarray]] = []
+    viz_rows = int(eval_cfg.get("val_visual_rows", 8))
+
+    for batch_idx, batch in enumerate(dataloader):
+        inputs = build_training_batch(batch, background_sample_prob=0.0)
+        n_real = inputs.shape[0]
+        inputs = pad_to_multiple(inputs, n_devices)
+        images = (
+            jax.device_put(inputs, sharding) if sharding is not None else jnp.asarray(inputs)
+        )
+        key, sub = jax.random.split(key)
+        out = eval_step(params, images, sub)
+        psnr_white.append(np.asarray(out["psnr_white"])[:n_real])
+        psnr_black.append(np.asarray(out["psnr_black"])[:n_real])
+        alpha_l1.append(np.asarray(out["alpha_mae"])[:n_real])
+        if len(viz) < viz_rows:
+            viz.append(
+                {
+                    "gt": np.clip(np.asarray(inputs[0], dtype=np.float32), 0.0, 1.0),
+                    "recon": np.asarray(out["recon"][0], dtype=np.float32),
+                }
+            )
+        if max_batches is not None and (batch_idx + 1) >= max_batches:
+            break
+
+    metrics: Dict[str, float] = {}
+    if psnr_white:
+        metrics["val/psnr_white"] = float(np.concatenate(psnr_white).mean())
+        metrics["val/psnr_black"] = float(np.concatenate(psnr_black).mean())
+        metrics["val/alpha_mae"] = float(np.concatenate(alpha_l1).mean())
+        print(
+            f"[RGBA-VAE][val] epoch {epoch} PSNR (white background): "
+            f"{metrics['val/psnr_white']:.2f} dB"
+        )
+        print(
+            f"[RGBA-VAE][val] epoch {epoch} PSNR (black background): "
+            f"{metrics['val/psnr_black']:.2f} dB"
+        )
+        print(f"[RGBA-VAE][val] epoch {epoch} alpha MAE: {metrics['val/alpha_mae']:.4f}")
+    if viz:
+        save_validation_grid(
+            viz,
+            epoch=epoch,
+            step=global_step,
+            output_dir=eval_cfg.get("val_output_dir", "outputs"),
+        )
+    return metrics
+
+
+# ---------------------------------------------------------------------------
+# Checkpoints (parity with save_checkpoints, :875-893, plus real resume)
+# ---------------------------------------------------------------------------
+def save_checkpoints(model: RgbaVAE, params, cfg: Dict[str, Any], *, step=None, opt_state=None):
+    ckpt_dir = Path(cfg.get("training", {}).get("ckpt_dir", "checkpoints"))
+    target = ckpt_lib.checkpoint_dir(ckpt_dir, step)
+    ckpt_lib.save_train_checkpoint(
+        target,
+        config=model.config,
+        params=params,
+        opt_state=opt_state,
+        step=step or 0,
+    )
+    print(f"Saved RGBA-VAE checkpoints to {target}" + (f" (step {step})" if step else ""))
+    return target
+
+
+# ---------------------------------------------------------------------------
+# The stage entry point (parity with train_rgba_vae, :242-572)
+# ---------------------------------------------------------------------------
+def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
+    model_cfg = cfg.get("model", {})
+    train_cfg = cfg.get("training", {})
+    data_cfg = cfg.get("data", {})
+
+    mixed_precision = train_cfg.get("mixed_precision", "no")
+    if isinstance(mixed_precision, bool):
+        mixed_precision = "fp16" if mixed_precision else "no"
+    if mixed_precision in ("bf16", "fp16", "float16", "bfloat16"):
+        # fp16 has no TPU fast path; bf16 is the analogue for both.
+        compute_dtype = jnp.bfloat16
+    elif mixed_precision in ("no", "none", "fp32", "float32"):
+        compute_dtype = jnp.float32
+    else:
+        compute_dtype = dtype_from_str(mixed_precision)
+
+    mesh = create_mesh()
+    n_devices = mesh.devices.size
+
+    rgb_ckpt = model_cfg.get("rgb_checkpoint")
+    if not rgb_ckpt:
+        raise ValueError("model.rgb_checkpoint must point to the converted VAE directory.")
+    base_arch = str(model_cfg.get("base_arch", "qwen")).lower()
+    default_subfolder = "ae" if "flux" in base_arch else "vae"
+    rgb_subfolder = model_cfg.get("rgb_subfolder")
+    subfolder = default_subfolder if rgb_subfolder is None else rgb_subfolder
+
+    model, params = RgbaVAE.from_pretrained_rgb(
+        rgb_ckpt,
+        subfolder=subfolder,
+        alpha_bias_init=model_cfg.get("alpha_bias_init", 0.0),
+        beta=model_cfg.get("beta", 0.25),
+        alpha_loss_weight=model_cfg.get("alpha_loss_weight", 1.0),
+        alpha_l1_weight=model_cfg.get("alpha_l1_weight", 0.0),
+        rgb_loss_weight=model_cfg.get("rgb_loss_weight", 1.0),
+        white_bg_weight=model_cfg.get("white_bg_loss_weight", 0.0),
+        black_bg_weight=model_cfg.get("black_bg_loss_weight", 0.0),
+        dtype=compute_dtype,
+        remat=bool(train_cfg.get("vae_gradient_checkpointing", False)),
+    )
+    params = jax.device_put(params, replicated(mesh))
+
+    train_loader = build_dataloader(cfg, split="train")
+    val_loader = None
+    if train_cfg.get("run_validation", True):
+        try:
+            val_loader = build_dataloader(cfg, split="val")
+        except Exception as exc:
+            print(f"[RGBA-VAE] no validation loader: {exc}")
+            val_loader = None
+
+    lr = float(train_cfg.get("learning_rate", 1e-4))
+    epochs = int(train_cfg.get("epochs", 1))
+    max_grad_norm = train_cfg.get("max_grad_norm")
+    tx = make_optimizer(
+        lr,
+        betas=(0.5, 0.9),
+        max_grad_norm=float(max_grad_norm) if max_grad_norm is not None else None,
+    )
+
+    lpips_scale = float(train_cfg.get("lpips_scale", 0.0) or 0.0)
+    lpips_fn = None
+    if lpips_scale > 0.0:
+        from ragb_vae_tpu.models.lpips import maybe_build_lpips
+
+        lpips_fn = maybe_build_lpips(train_cfg.get("lpips_weights"))
+        if lpips_fn is None:
+            print(
+                "[RGBA-VAE] lpips_scale > 0 but no LPIPS weights available "
+                "(set training.lpips_weights); perceptual term disabled."
+            )
+            lpips_scale = 0.0
+
+    loss_cfg = AlphaVaeLossConfig(
+        reduce_mean=bool(train_cfg.get("loss_reduce_mean", False)),
+        use_naive_mse=bool(train_cfg.get("use_naive_mse", False)),
+        eb=tuple(model_cfg.get("loss_eb") or AlphaVaeLossConfig.eb),
+        eb2=tuple(model_cfg.get("loss_eb2") or AlphaVaeLossConfig.eb2),
+    )
+    step_cfg = VaeStepConfig(
+        kl_scale=float(train_cfg.get("kl_scale") or 0.0),
+        ref_kl_scale=float(train_cfg.get("ref_kl_scale") or 0.0),
+        lpips_scale=lpips_scale,
+        gradient_accumulation_steps=int(train_cfg.get("gradient_accumulation_steps", 1)),
+        compute_dtype=compute_dtype,
+    )
+
+    ref_params = None
+    if step_cfg.ref_kl_scale > 0.0:
+        ref_ckpt = model_cfg.get("ref_rgb_checkpoint") or rgb_ckpt
+        ref_rgb_subfolder = model_cfg.get("ref_rgb_subfolder")
+        ref_subfolder = subfolder if ref_rgb_subfolder is None else ref_rgb_subfolder
+        _, ref_params = RgbaVAE.from_pretrained_rgb(
+            ref_ckpt,
+            subfolder=ref_subfolder,
+            alpha_bias_init=model_cfg.get("alpha_bias_init", 0.0),
+            dtype=compute_dtype,
+        )
+        ref_params = jax.device_put(ref_params, replicated(mesh))
+
+    sample_vis_count = int(train_cfg.get("sample_vis_count", 0) or 0)
+    if sample_vis_count > 0:
+        try:
+            visualize_dataloader_samples(
+                train_loader,
+                limit=sample_vis_count,
+                output_dir=train_cfg.get("sample_vis_dir", "outputs/sample_vis"),
+                nrow=int(train_cfg.get("sample_vis_nrow", 10) or 10),
+            )
+        except Exception as exc:
+            print(f"[RGBA-VAE] dataloader preview failed: {exc}")
+
+    opt_state = init_train_state(model, params, tx, mesh=mesh)
+    train_step = make_train_step(
+        model,
+        tx,
+        loss_cfg,
+        step_cfg,
+        mesh=mesh,
+        ref_params=ref_params,
+        lpips_fn=lpips_fn,
+        opt_state_example=jax.eval_shape(tx.init, params),
+    )
+    eval_step = make_eval_step(model, mesh=mesh) if val_loader is not None else None
+
+    global_step = 0
+    start_step = 0
+    if train_cfg.get("resume_from"):
+        _, params_loaded, opt_loaded, meta = ckpt_lib.load_train_checkpoint(
+            train_cfg["resume_from"], opt_state_template=jax.device_get(opt_state)
+        )
+        params = jax.device_put(params_loaded, replicated(mesh))
+        if opt_loaded is not None:
+            opt_state = jax.device_put(opt_loaded, jax.tree_util.tree_map(lambda x: x.sharding, opt_state))
+        start_step = int(meta.get("step", 0))
+        global_step = start_step
+        print(f"[RGBA-VAE] resumed from {train_cfg['resume_from']} at step {start_step}")
+
+    log_every = int(train_cfg.get("log_every", 50))
+    nan_check_every = int(train_cfg.get("nan_check_every", log_every))
+    ckpt_every_steps = int(train_cfg.get("ckpt_every_steps", 0) or 0)
+    val_every_steps = int(train_cfg.get("val_every_steps", 500))
+    background_sample_prob = float(data_cfg.get("background_sample_prob", 0.0))
+    max_steps = train_cfg.get("max_steps")
+
+    log_batch_and_buckets(
+        batch_size=int(data_cfg.get("batch_size", 1)),
+        grad_accum=step_cfg.gradient_accumulation_steps,
+        num_devices=n_devices,
+        train_loader=train_loader,
+    )
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+    print(f"[Params] trainable parameters: {n_params:,}")
+
+    seed = int(train_cfg.get("seed", 0))
+    key = jax.random.PRNGKey(seed)
+    host_rng = np.random.default_rng(seed)
+    input_sharding = batch_sharding(mesh)
+    performed_validation = False
+    pending: List[Dict[str, Array]] = []
+    last_metrics: Dict[str, float] = {}
+    images_seen = 0
+    t_start = time.time()
+
+    def materialize(step_at: int, epoch: int) -> Dict[str, float]:
+        nonlocal pending
+        if not pending:
+            return dict(last_metrics)
+        vals = {k: float(np.asarray(v)) for k, v in pending[-1].items()}
+        for name, v in vals.items():
+            ensure_finite(v, name, epoch=epoch, step=step_at)
+        pending = []
+        return vals
+
+    try:
+        for epoch in range(epochs):
+            train_loader.set_epoch(epoch)
+            for batch in train_loader:
+                inputs = build_training_batch(
+                    batch,
+                    background_sample_prob=background_sample_prob,
+                    rng=host_rng,
+                )
+                micro = step_cfg.gradient_accumulation_steps
+                inputs = pad_to_multiple(
+                    np.asarray(inputs, dtype=np.float32), n_devices * micro
+                )
+                images = jax.device_put(inputs, input_sharding)
+                key, sub = jax.random.split(key)
+                params, opt_state, metrics = train_step(
+                    params, opt_state, {"images": images}, sub
+                )
+                global_step += 1
+                images_seen += inputs.shape[0]
+                pending.append(metrics)
+
+                if nan_check_every > 0 and global_step % nan_check_every == 0:
+                    last_metrics = materialize(global_step, epoch)
+                if log_every > 0 and global_step % log_every == 0:
+                    last_metrics = materialize(global_step, epoch) or last_metrics
+                    loss_value = last_metrics.get("train/loss", float("nan"))
+                    ips = images_seen / max(time.time() - t_start, 1e-9)
+                    print(
+                        f"[RGBA-VAE] epoch {epoch} step {global_step} "
+                        f"loss {loss_value:.4f} ({ips:.1f} img/s)",
+                        flush=True,
+                    )
+
+                if (
+                    train_cfg.get("run_validation", True)
+                    and val_loader is not None
+                    and val_every_steps > 0
+                    and global_step % val_every_steps == 0
+                ):
+                    key, sub = jax.random.split(key)
+                    last_metrics.update(
+                        evaluate_rgba_vae(
+                            model,
+                            params,
+                            val_loader,
+                            epoch=epoch,
+                            eval_cfg=train_cfg,
+                            global_step=global_step,
+                            mesh=mesh,
+                            eval_step=eval_step,
+                            key=sub,
+                        )
+                    )
+                    performed_validation = True
+
+                if ckpt_every_steps > 0 and global_step % ckpt_every_steps == 0:
+                    save_checkpoints(model, params, cfg, step=global_step, opt_state=opt_state)
+
+                if max_steps is not None and global_step - start_step >= int(max_steps):
+                    raise StopIteration
+    except StopIteration:
+        pass
+
+    last_metrics = materialize(global_step, epochs - 1) or last_metrics
+
+    if train_cfg.get("run_validation", True) and val_loader is not None and not performed_validation:
+        key, sub = jax.random.split(key)
+        last_metrics.update(
+            evaluate_rgba_vae(
+                model,
+                params,
+                val_loader,
+                epoch=epochs - 1,
+                eval_cfg=train_cfg,
+                global_step=global_step,
+                mesh=mesh,
+                eval_step=eval_step,
+                key=sub,
+            )
+        )
+
+    save_checkpoints(model, params, cfg, step=global_step, opt_state=opt_state)
+    last_metrics["global_step"] = float(global_step)
+    return last_metrics

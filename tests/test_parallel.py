@@ -1,0 +1,126 @@
+"""Mesh / ZeRO-sharding / grad-accumulation tests on the 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from ragb_vae_tpu.parallel import (
+    DATA_AXIS,
+    accumulated_grads,
+    batch_sharding,
+    create_mesh,
+    pad_batch_to_mesh,
+    replicated,
+    shard_batch,
+    split_microbatches,
+    zero_sharding,
+)
+
+
+def test_create_mesh_spans_all_devices():
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == (DATA_AXIS,)
+
+
+def test_create_mesh_shape_validation():
+    with pytest.raises(ValueError):
+        create_mesh(shape=(3,))
+
+
+def test_batch_sharding_places_shards():
+    mesh = create_mesh()
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    sharded = shard_batch(x, mesh)
+    assert sharded.sharding.spec == P(DATA_AXIS)
+    np.testing.assert_array_equal(np.asarray(sharded), x)
+
+
+def test_pad_batch_to_mesh():
+    mesh = create_mesh()
+    assert pad_batch_to_mesh(5, mesh) == 8
+    assert pad_batch_to_mesh(8, mesh) == 8
+    assert pad_batch_to_mesh(9, mesh) == 16
+
+
+def test_zero_sharding_splits_large_and_replicates_small():
+    mesh = create_mesh()
+    tree = {
+        "big": jnp.zeros((1024, 128)),  # 2^17 elements >= threshold, dim0 % 8 == 0
+        "small": jnp.zeros((4, 4)),
+        "odd": jnp.zeros((1023, 257)),  # big but no dim divisible by 8
+    }
+    sh = zero_sharding(tree, mesh)
+    assert sh["big"].spec == P(DATA_AXIS, None)
+    assert sh["small"].spec == P()
+    assert sh["odd"].spec == P()
+
+
+def test_zero_sharded_optimizer_matches_replicated():
+    """ZeRO residency must not change numerics (DeepSpeed equivalence)."""
+    mesh = create_mesh()
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (1024, 64))  # large enough to shard
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 1024))
+    y = jax.random.normal(jax.random.PRNGKey(2), (16, 64))
+    tx = optax.adamw(1e-2, b1=0.5, b2=0.9)
+
+    def loss_fn(w, x, y):
+        return jnp.mean((x @ w - y) ** 2)
+
+    def step(w, opt_state, x, y):
+        grads = jax.grad(loss_fn)(w, x, y)
+        updates, opt_state = tx.update(grads, opt_state, w)
+        return optax.apply_updates(w, updates), opt_state
+
+    # replicated run
+    w_r, s_r = w, tx.init(w)
+    for _ in range(3):
+        w_r, s_r = jax.jit(step)(w_r, s_r, x, y)
+
+    # ZeRO-sharded run
+    shapes = jax.eval_shape(tx.init, w)
+    shardings = zero_sharding(shapes, mesh)
+    init = jax.jit(tx.init, out_shardings=shardings)
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    sharded_step = jax.jit(
+        step,
+        in_shardings=(rep, shardings, bsh, bsh),
+        out_shardings=(rep, shardings),
+    )
+    w_z, s_z = jax.device_put(w, rep), init(w)
+    for _ in range(3):
+        w_z, s_z = sharded_step(w_z, s_z, jax.device_put(x, bsh), jax.device_put(y, bsh))
+
+    np.testing.assert_allclose(np.asarray(w_r), np.asarray(w_z), rtol=1e-5, atol=1e-6)
+
+
+def test_split_microbatches_shapes_and_validation():
+    batch = {"a": jnp.zeros((8, 3)), "b": jnp.zeros((8,))}
+    micro = split_microbatches(batch, 4)
+    assert micro["a"].shape == (4, 2, 3)
+    assert micro["b"].shape == (4, 2)
+    with pytest.raises(ValueError):
+        split_microbatches(batch, 3)
+
+
+def test_accumulated_grads_matches_full_batch():
+    """Mean-of-microbatch grads == full-batch grads for a mean loss."""
+    w = jax.random.normal(jax.random.PRNGKey(0), (6, 2))
+    batch = {"x": jax.random.normal(jax.random.PRNGKey(1), (8, 6))}
+
+    def loss_fn(params, b, key):
+        del key
+        pred = b["x"] @ params
+        loss = jnp.mean(pred**2)
+        return loss, {"loss": loss}
+
+    key = jax.random.PRNGKey(2)
+    l1, a1, g1 = accumulated_grads(loss_fn, w, batch, key, 1)
+    l4, a4, g4 = accumulated_grads(loss_fn, w, batch, key, 4)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l4), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g4), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a1["loss"]), np.asarray(a4["loss"]), rtol=1e-6)

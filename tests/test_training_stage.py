@@ -1,0 +1,168 @@
+"""End-to-end RGBA-VAE training-stage tests on the 8-device CPU mesh."""
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from ragb_vae_tpu.models.rgba_vae import RgbaVAE
+from ragb_vae_tpu.models.vae_config import AutoencoderConfig
+from ragb_vae_tpu.models.weights import save_autoencoder_params
+from ragb_vae_tpu.training.rgba_vae_stage import (
+    build_training_batch,
+    pad_to_multiple,
+    train_rgba_vae,
+)
+from tests.data_fixtures import make_components_tree
+
+
+def test_build_training_batch_concat_and_background():
+    batch = {
+        "component": np.zeros((2, 8, 8, 4), dtype=np.float32),
+        "composite": np.ones((2, 8, 8, 4), dtype=np.float32),
+        "background": np.full((2, 8, 8, 4), 0.5, dtype=np.float32),
+    }
+    out = build_training_batch(batch, background_sample_prob=0.0)
+    assert out.shape == (4, 8, 8, 4)
+    np.testing.assert_array_equal(out[:2], 0.0)
+    np.testing.assert_array_equal(out[2:], 1.0)
+
+    rng = np.random.default_rng(0)
+    out_bg = build_training_batch(batch, background_sample_prob=1.0, rng=rng)
+    assert out_bg.shape == (6, 8, 8, 4)
+    np.testing.assert_array_equal(out_bg[4:], 0.5)
+
+    with pytest.raises(ValueError):
+        build_training_batch({"component": batch["component"]})
+
+
+def test_pad_to_multiple_cycles_batch():
+    arr = np.arange(5, dtype=np.float32).reshape(5, 1)
+    out = pad_to_multiple(arr, 8)
+    assert out.shape == (8, 1)
+    np.testing.assert_array_equal(out[5:, 0], [0.0, 1.0, 2.0])
+    assert pad_to_multiple(arr, 1) is arr
+    assert pad_to_multiple(out, 8) is out
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    """A tiny RGB AutoencoderKL checkpoint in HF format on disk."""
+    ckpt = tmp_path_factory.mktemp("ckpt") / "vae_init"
+    config = AutoencoderConfig.tiny()
+    config.in_channels = 3
+    config.out_channels = 3
+    model = RgbaVAE(config=config)
+    params = model.init_params(jax.random.PRNGKey(0), image_size=32)
+    save_autoencoder_params(config, params, ckpt)
+    return ckpt
+
+
+@pytest.fixture(scope="module")
+def data_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data") / "components"
+    return make_components_tree(root, n_train=8, n_val=4)
+
+
+def _make_cfg(tiny_ckpt, data_tree, out_dir, **train_overrides):
+    train = {
+        "stage": "rgba_vae",
+        "learning_rate": 1e-4,
+        "epochs": 1,
+        "max_steps": 3,
+        "ckpt_dir": str(out_dir / "ckpts"),
+        "mixed_precision": "no",
+        "log_every": 1,
+        "run_validation": True,
+        "val_every_steps": 0,
+        "val_max_batches": 1,
+        "val_visual_rows": 2,
+        "val_output_dir": str(out_dir / "val"),
+        "ckpt_every_steps": 0,
+        "max_grad_norm": 1.0,
+        "kl_scale": 1e-6,
+        "ref_kl_scale": 0.0,
+        "lpips_scale": 0.0,
+        "loss_reduce_mean": True,
+        "sample_vis_count": 0,
+        "seed": 0,
+    }
+    train.update(train_overrides)
+    return {
+        "data": {
+            "source": "bucket",
+            "bucket_root": str(data_tree),
+            "bucket_datasets": [
+                {
+                    "type": "components",
+                    "root": str(data_tree),
+                    "manifest": str(data_tree / "metadata" / "manifest.json"),
+                }
+            ],
+            "batch_size": 4,
+            "num_workers": 0,
+            "shuffle": True,
+            "seed": 0,
+        },
+        "training": train,
+        "model": {
+            "base_arch": "flux",
+            "rgb_checkpoint": str(tiny_ckpt),
+            "rgb_subfolder": "",
+            "beta": 0.25,
+        },
+    }
+
+
+def test_train_rgba_vae_end_to_end(tiny_ckpt, data_tree, tmp_path):
+    cfg = _make_cfg(tiny_ckpt, data_tree, tmp_path)
+    metrics = train_rgba_vae(cfg)
+    assert np.isfinite(metrics["train/loss"])
+    assert metrics["global_step"] == 3.0
+    assert "val/psnr_white" in metrics and np.isfinite(metrics["val/psnr_white"])
+    assert "val/alpha_mae" in metrics
+
+    # final checkpoint written with HF weights + resume state
+    final = tmp_path / "ckpts" / "step_0000003"
+    assert (final / "rgba_vae_hf" / "config.json").exists()
+    assert (final / "rgba_vae_hf" / "diffusion_pytorch_model.safetensors").exists()
+    assert (final / "train_state.msgpack").exists()
+    meta = json.loads((final / "train_state.json").read_text())
+    assert meta["step"] == 3
+
+    # saved checkpoint is RGBA (4-channel convs after widening)
+    saved_cfg = json.loads((final / "rgba_vae_hf" / "config.json").read_text())
+    assert saved_cfg["in_channels"] == 4
+    assert saved_cfg["out_channels"] == 4
+
+    # validation grid rendered
+    assert list((tmp_path / "val").glob("val_recon_*.png"))
+
+
+def test_train_rgba_vae_resume(tiny_ckpt, data_tree, tmp_path):
+    cfg = _make_cfg(tiny_ckpt, data_tree, tmp_path, max_steps=2, run_validation=False)
+    train_rgba_vae(cfg)
+    resume_cfg = _make_cfg(
+        tiny_ckpt,
+        data_tree,
+        tmp_path,
+        max_steps=2,
+        run_validation=False,
+        resume_from=str(tmp_path / "ckpts" / "step_0000002"),
+    )
+    metrics = train_rgba_vae(resume_cfg)
+    assert metrics["global_step"] == 4.0
+    assert (tmp_path / "ckpts" / "step_0000004" / "train_state.msgpack").exists()
+
+
+def test_train_rgba_vae_grad_accum_runs(tiny_ckpt, data_tree, tmp_path):
+    cfg = _make_cfg(
+        tiny_ckpt,
+        data_tree,
+        tmp_path,
+        max_steps=1,
+        run_validation=False,
+        gradient_accumulation_steps=2,
+    )
+    metrics = train_rgba_vae(cfg)
+    assert np.isfinite(metrics["train/loss"])
