@@ -131,7 +131,11 @@ class SpatialAttention(nn.Module):
         q = nn.Dense(self.channels, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(self.channels, dtype=self.dtype, name="to_k")(y)
         v = nn.Dense(self.channels, dtype=self.dtype, name="to_v")(y)
-        attn = _chunked_attention(q, k, v)
+        # flash kernel on TPU (16k tokens at 1024^2 never materialize SxS
+        # logits); exact chunked XLA fallback elsewhere
+        from ragb_vae_tpu.ops.pallas import attention as fused_attention
+
+        attn = fused_attention(q[:, None], k[:, None], v[:, None])[:, 0]
         out = nn.Dense(self.channels, dtype=self.dtype, name="to_out")(attn)
         return residual + out.reshape(b, h, w, c)
 

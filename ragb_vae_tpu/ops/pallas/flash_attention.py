@@ -1,0 +1,221 @@
+"""Flash attention (online-softmax) Pallas TPU kernel.
+
+The hot attention paths — Flux DiT blocks (24 heads x 128 dim, seqs to
+~9k tokens at 1024^2 in-context conditioning) and the VAE mid-block
+(1 head x 512 dim, 16k tokens at 1024^2) — never materialize the S x S
+logits matrix: softmax runs online with per-row running (max, sum)
+carried in VMEM scratch across key blocks.
+
+Kernel structure: grid (batch*heads, q_blocks, k_blocks); the k axis is
+innermost, so the fp32 accumulator/m/l scratch persists across k steps
+(TPU grids run sequentially). Logits and rescaling in fp32 on the MXU
+(`preferred_element_type`), inputs stay bf16. Ragged sequence lengths
+are zero-padded and masked with -inf via broadcasted iota.
+
+Training uses a custom VJP whose backward recomputes attention in
+bounded-memory chunks (flash-style recompute: one extra forward's FLOPs
+for O(S) memory, same trade `jax.checkpoint` makes).
+
+Falls back to the chunked XLA implementation off-TPU (CPU tests) via
+`attention(force_xla=...)`.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref, *, sm_scale: float, seq_k: int, block_k: int
+):
+    kk = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]  # (block_q, d)
+    k = k_ref[0]  # (block_k, d)
+    v = v_ref[0]
+
+    scores = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale  # (block_q, block_k)
+
+    # mask padded keys
+    key_idx = kk * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, scores.shape, dimension=1
+    )
+    scores = jnp.where(key_idx < seq_k, scores, NEG_INF)
+
+    m_prev = m_ref[:]  # (block_q, 1)
+    m_cur = jnp.max(scores, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(scores - m_new)  # (block_q, block_k)
+    alpha = jnp.exp(m_prev - m_new)
+
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+
+    @pl.when(kk == nk - 1)
+    def _finalize():
+        out_ref[0] = (acc_ref[:] / l_ref[:]).astype(out_ref.dtype)
+
+
+def _pad_seq(x: Array, block: int) -> Array:
+    s = x.shape[1]
+    pad = (-s) % block
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    return x
+
+
+INTERPRET = False  # flipped by CPU tests to run the kernel interpreted
+
+
+def flash_attention_fwd_3d(
+    q: Array, k: Array, v: Array, *, sm_scale: float, block_q: int, block_k: int
+) -> Array:
+    """(BH, S, D) inputs -> (BH, S, D) output."""
+    bh, seq_q, d = q.shape
+    seq_k = k.shape[1]
+    q_p = _pad_seq(q, block_q)
+    k_p = _pad_seq(k, block_k)
+    v_p = _pad_seq(v, block_k)
+    nq = q_p.shape[1] // block_q
+    nk = k_p.shape[1] // block_k
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, sm_scale=sm_scale, seq_k=seq_k, block_k=block_k
+        ),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(q_p.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * seq_q * seq_k * d,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=bh * seq_q * seq_k,
+        ),
+        interpret=INTERPRET,
+    )(q_p, k_p, v_p)
+    return out[:, :seq_q]
+
+
+def chunked_attention_3d(
+    q: Array, k: Array, v: Array, *, sm_scale: float, chunk: int = 1024
+) -> Array:
+    """Exact attention, q-chunked (XLA path; backward-friendly)."""
+    def one_chunk(q_blk):
+        logits = jnp.einsum("bqd,bkd->bqk", q_blk, k).astype(jnp.float32) * sm_scale
+        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        return jnp.einsum("bqk,bkd->bqd", weights, v)
+
+    seq_q = q.shape[1]
+    if seq_q <= chunk:
+        return one_chunk(q)
+    q_p = _pad_seq(q, chunk)
+    blocks = q_p.reshape(q.shape[0], -1, chunk, q.shape[2])
+    out = jax.lax.map(lambda i: one_chunk(blocks[:, i]), jnp.arange(blocks.shape[1]))
+    out = jnp.moveaxis(out, 0, 1).reshape(q.shape[0], -1, q.shape[2])
+    return out[:, :seq_q]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention_3d(q, k, v, sm_scale, block_q, block_k):
+    return flash_attention_fwd_3d(
+        q, k, v, sm_scale=sm_scale, block_q=block_q, block_k=block_k
+    )
+
+
+def _flash_fwd(q, k, v, sm_scale, block_q, block_k):
+    out = flash_attention_fwd_3d(
+        q, k, v, sm_scale=sm_scale, block_q=block_q, block_k=block_k
+    )
+    return out, (q, k, v)
+
+
+def _flash_bwd(sm_scale, block_q, block_k, residuals, g):
+    q, k, v = residuals
+    # bounded-memory recompute through the chunked exact implementation
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: chunked_attention_3d(q_, k_, v_, sm_scale=sm_scale), q, k, v
+    )
+    return vjp(g)
+
+
+_flash_attention_3d.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    sm_scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    force_xla: Optional[bool] = None,
+) -> Array:
+    """(B, H, S, D) attention; flash kernel on TPU, chunked XLA elsewhere.
+
+    Drop-in for `flux_transformer.default_attention` /
+    `vae._chunked_attention` call sites.
+    """
+    b, h, s, d = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    q3 = q.reshape(b * h, s, d)
+    k3 = k.reshape(b * h, k.shape[2], d)
+    v3 = v.reshape(b * h, v.shape[2], d)
+    use_xla = force_xla if force_xla is not None else not _on_tpu()
+    if use_xla:
+        out = chunked_attention_3d(q3, k3, v3, sm_scale=sm_scale)
+    else:
+        # shrink blocks for short sequences (still >= the bf16 sublane tile)
+        bq = min(block_q, max(128, 1 << math.ceil(math.log2(max(s, 1)))))
+        out = _flash_attention_3d(q3, k3, v3, sm_scale, bq, min(block_k, bq))
+    return out.reshape(b, h, s, d)

@@ -1,0 +1,384 @@
+"""Flux-Kontext text-alpha LoRA training stage — TPU-native.
+
+Parity with the reference stage
+(src/training/flux_kontext_textalpha_lora.py:79-463): same argparse
+surface, the same YAML->args overlay with synonym mapping
+(ckpt_every_steps->save_every, val_every_steps->val_every,
+val_max_batches->val_max_samples), AdamW(β1=0.9, β2=0.95) + cosine
+anneal over LoRA params only, periodic peft-format LoRA saves with
+metadata.json, and GT|pred RGBA pair dumps for visual validation.
+
+TPU re-architecture: the transformer's base weights are a frozen closure
+constant of one jitted train step; only the LoRA pytree (plus optimizer
+state) flows through the step. The batch is sharded over the data mesh
+axis; gradient reduction is XLA's (replacing accelerate/DDP).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ragb_vae_tpu.data.loader import DataLoader
+from ragb_vae_tpu.data.sampler import BucketBatchSampler
+from ragb_vae_tpu.data.text_alpha_dataset import TextAlphaBucketDataset
+from ragb_vae_tpu.models.flux_kontext_textalpha import (
+    FluxTextAlphaModel,
+    write_lora_metadata,
+)
+from ragb_vae_tpu.models.flux_weights import merge_params, split_lora_params
+from ragb_vae_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    replicated,
+    zero_sharding,
+)
+from ragb_vae_tpu.training.rgba_vae_stage import pad_to_multiple, _to_uint8
+
+Array = jnp.ndarray
+
+
+def _resolve_env_token(value: Optional[str]) -> Optional[str]:
+    """`${env:VAR}` indirection for tokens (reference :35-45)."""
+    if not value:
+        return value
+    if value.startswith("${env:") and value.endswith("}"):
+        return os.environ.get(value[len("${env:"):-1])
+    return value
+
+
+def parse_args(args: Optional[List[str]] = None, *, allow_missing: bool = False) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        description="FLUX-Kontext LoRA for text_alpha latent prediction."
+    )
+    required = not allow_missing
+    parser.add_argument("--pretrained_model_name_or_path", type=str, required=required, default=None)
+    parser.add_argument("--hf_token", type=str, default=None)
+    parser.add_argument("--rgba_vae_path", type=str, required=required, default=None)
+    parser.add_argument("--vae_subfolder", type=str, default="ae")
+    parser.add_argument("--data_root", type=str, required=required, default=None)
+    parser.add_argument("--train_split", type=str, default="train")
+    parser.add_argument("--val_split", type=str, default=None)
+    parser.add_argument("--batch_size", type=int, default=2)
+    parser.add_argument("--val_batch_size", type=int, default=1)
+    parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--learning_rate", type=float, default=1e-4)
+    parser.add_argument("--weight_decay", type=float, default=0.01)
+    parser.add_argument("--adam_beta1", type=float, default=0.9)
+    parser.add_argument("--adam_beta2", type=float, default=0.95)
+    parser.add_argument("--adam_eps", type=float, default=1e-8)
+    parser.add_argument("--max_train_steps", type=int, default=10000)
+    parser.add_argument("--log_every", type=int, default=50)
+    parser.add_argument("--save_every", type=int, default=1000)
+    parser.add_argument("--ckpt_dir", type=str, default="checkpoints/flux_kontext_textalpha_lora")
+    parser.add_argument("--output_dir", type=str, default="outputs/flux_kontext_textalpha_lora")
+    parser.add_argument(
+        "--val_output_dir", type=str, default="outputs/flux_kontext_textalpha_lora/val_samples"
+    )
+    parser.add_argument("--val_every", type=int, default=1000)
+    parser.add_argument("--val_max_samples", type=int, default=100)
+    parser.add_argument("--val_num_inference_steps", type=int, default=20)
+    parser.add_argument("--run_validation_on_start", action="store_true")
+    parser.add_argument("--mixed_precision", type=str, default="bf16")
+    parser.add_argument("--grad_accum_steps", type=int, default=1)
+    parser.add_argument("--seed", type=int, default=1337)
+    parser.add_argument("--rank", type=int, default=96)
+    parser.add_argument("--lora_alpha", type=int, default=128)
+    parser.add_argument("--drop_last", action="store_true")
+    parser.add_argument("--interleave_buckets", action="store_true")
+    parser.add_argument("--max_grad_norm", type=float, default=1.0)
+    return parser.parse_args(args=args)
+
+
+def _save_pair(gt: np.ndarray, pred: np.ndarray, path: Path) -> None:
+    """GT|pred side-by-side RGBA PNG (reference _save_pair)."""
+    from PIL import Image
+
+    gt_img = Image.fromarray(_to_uint8(gt), mode="RGBA")
+    pred_img = Image.fromarray(_to_uint8(pred), mode="RGBA")
+    w, h = gt_img.size
+    canvas = Image.new("RGBA", (w * 2, h))
+    canvas.paste(gt_img, (0, 0))
+    canvas.paste(pred_img, (w, 0))
+    canvas.save(path)
+
+
+def train(args: argparse.Namespace) -> Dict[str, float]:
+    mesh = create_mesh()
+    n_devices = mesh.devices.size
+    dtype = jnp.bfloat16 if args.mixed_precision in ("bf16", "fp16") else jnp.float32
+
+    model, t_params, vae_params = FluxTextAlphaModel.from_pretrained(
+        args.pretrained_model_name_or_path,
+        vae_path=args.rgba_vae_path,
+        vae_subfolder=args.vae_subfolder,
+        dtype=dtype,
+        lora_rank=args.rank,
+        lora_alpha=float(args.lora_alpha),
+    )
+    base_params, lora_params = split_lora_params(t_params)
+    rep = replicated(mesh)
+    base_params = jax.device_put(base_params, rep)
+    lora_params = jax.device_put(lora_params, rep)
+    vae_params = jax.device_put(vae_params, rep)
+
+    train_ds = TextAlphaBucketDataset(Path(args.data_root), split=args.train_split)
+    val_ds = (
+        TextAlphaBucketDataset(Path(args.data_root), split=args.val_split)
+        if args.val_split
+        else None
+    )
+    train_sampler = BucketBatchSampler(
+        train_ds.bucket_to_indices,
+        batch_size=args.batch_size,
+        shuffle=True,
+        drop_last=args.drop_last,
+        interleave=args.interleave_buckets,
+        seed=args.seed,
+    )
+    train_dl = DataLoader(train_ds, batch_sampler=train_sampler, num_workers=args.num_workers)
+    val_dl = (
+        DataLoader(val_ds, batch_size=args.val_batch_size, shuffle=True,
+                   num_workers=min(4, args.num_workers), seed=args.seed)
+        if val_ds is not None
+        else None
+    )
+
+    lr_schedule = optax.cosine_decay_schedule(args.learning_rate, args.max_train_steps)
+    tx = optax.chain(
+        optax.clip_by_global_norm(args.max_grad_norm)
+        if args.max_grad_norm is not None
+        else optax.identity(),
+        optax.adamw(
+            lr_schedule,
+            b1=args.adam_beta1,
+            b2=args.adam_beta2,
+            eps=args.adam_eps,
+            weight_decay=args.weight_decay,
+        ),
+    )
+    opt_shapes = jax.eval_shape(tx.init, lora_params)
+    opt_shardings = zero_sharding(opt_shapes, mesh)
+    opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(lora_params)
+
+    n_micro = max(1, args.grad_accum_steps)
+
+    def loss_fn(lora, batch, key):
+        params = merge_params(base_params, lora)
+        loss, stats = model.compute_loss(
+            params, vae_params, batch["gt"], batch["text_alpha"], key
+        )
+        return loss, stats
+
+    from ragb_vae_tpu.parallel import accumulated_grads
+
+    def step_fn(lora, opt_state, batch, key):
+        loss, stats, grads = accumulated_grads(loss_fn, lora, batch, key, n_micro)
+        updates, opt_state = tx.update(grads, opt_state, lora)
+        lora = optax.apply_updates(lora, updates)
+        return lora, opt_state, loss, stats
+
+    bsh = batch_sharding(mesh)
+    train_step = jax.jit(
+        step_fn,
+        in_shardings=(rep, opt_shardings, bsh, rep),
+        out_shardings=(rep, opt_shardings, rep, rep),
+        donate_argnums=(0, 1),
+    )
+
+    effective = args.batch_size * n_micro * n_devices
+    print(
+        f"[Batch] per_device={args.batch_size} grad_accum={n_micro} "
+        f"devices={n_devices} effective_per_step={effective}"
+    )
+    print(f"[Train] {len(train_ds)} samples across {len(train_ds.bucket_to_indices)} buckets.")
+    print(f"[Val]   {len(val_ds)} samples." if val_ds is not None else "[Val]   (disabled: no val_split provided)")
+    n_lora = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(lora_params))
+    print(f"[Params] trainable LoRA parameters: {n_lora:,}")
+
+    sample_jit = jax.jit(
+        lambda lora, gt, key: model.sample(
+            merge_params(base_params, lora), vae_params, gt,
+            num_inference_steps=args.val_num_inference_steps, key=key,
+        )
+    )
+
+    def run_validation(step_label: str, key: jax.Array) -> None:
+        if val_dl is None:
+            return
+        out_dir = Path(args.val_output_dir) / f"step-{step_label}"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        saved = 0
+        for batch in val_dl:
+            if saved >= args.val_max_samples:
+                break
+            gt = jnp.asarray(batch["gt"], jnp.float32)
+            key, sub = jax.random.split(key)
+            decoded = np.asarray(sample_jit(lora_params, gt, sub))
+            names = batch.get("sample_name", ["val"])
+            if isinstance(names, str):
+                names = [names]
+            for i in range(decoded.shape[0]):
+                if saved >= args.val_max_samples:
+                    break
+                name = names[i] if i < len(names) else f"val_{saved}"
+                _save_pair(np.asarray(gt[i]), decoded[i], out_dir / f"{name}_pair.png")
+                saved += 1
+        print(f"[val-{step_label}] saved {saved} GT|pred pairs to {out_dir}")
+
+    def save_lora(step: int, subdir: str) -> None:
+        save_dir = Path(args.ckpt_dir) / subdir
+        model.save_lora_weights(merge_params(base_params, lora_params), save_dir)
+        write_lora_metadata(
+            save_dir,
+            model_id=str(args.pretrained_model_name_or_path),
+            rank=args.rank,
+            lora_alpha=float(args.lora_alpha),
+            dtype=str(np.dtype(dtype).name) if dtype != jnp.bfloat16 else "bfloat16",
+            step=step,
+        )
+        print(f"[ckpt] saved LoRA weights to {save_dir}")
+
+    key = jax.random.PRNGKey(args.seed)
+    if args.run_validation_on_start:
+        key, sub = jax.random.split(key)
+        run_validation("start", sub)
+
+    total_steps = 0
+    last_loss = float("nan")
+    t0 = time.time()
+    epoch = 0
+    while total_steps < args.max_train_steps:
+        train_dl.set_epoch(epoch)
+        for batch in train_dl:
+            gt = pad_to_multiple(np.asarray(batch["gt"], np.float32), n_devices * n_micro)
+            ta = pad_to_multiple(
+                np.asarray(batch["text_alpha"], np.float32), n_devices * n_micro
+            )
+            device_batch = {
+                "gt": jax.device_put(gt, bsh),
+                "text_alpha": jax.device_put(ta, bsh),
+            }
+            key, sub = jax.random.split(key)
+            lora_params, opt_state, loss, _ = train_step(
+                lora_params, opt_state, device_batch, sub
+            )
+            total_steps += 1
+
+            if total_steps % args.log_every == 0:
+                last_loss = float(np.asarray(loss))
+                if not np.isfinite(last_loss):
+                    raise FloatingPointError(f"Non-finite loss at step {total_steps}.")
+                lr_now = float(lr_schedule(total_steps))
+                rate = total_steps / max(time.time() - t0, 1e-9)
+                print(
+                    f"[step {total_steps}] loss={last_loss:.4f} lr={lr_now:.6f} "
+                    f"({rate:.2f} steps/s)",
+                    flush=True,
+                )
+            if args.save_every and total_steps % args.save_every == 0:
+                save_lora(total_steps, f"checkpoint-{total_steps}")
+            if args.val_every and total_steps % args.val_every == 0 and total_steps > 0:
+                key, sub = jax.random.split(key)
+                run_validation(str(total_steps), sub)
+            if total_steps >= args.max_train_steps:
+                break
+        epoch += 1
+
+    save_lora(args.max_train_steps, "final")
+    print("Done.")
+    if not np.isfinite(last_loss):
+        last_loss = float(np.asarray(loss))
+    return {"train/loss": last_loss, "global_step": float(total_steps)}
+
+
+def build_args_from_cfg(cfg: Dict[str, Any]) -> argparse.Namespace:
+    """YAML {model, data, training} -> argparse namespace with the reference's
+    synonym mapping (:349-448)."""
+    model_cfg = cfg.get("model", {})
+    data_cfg = cfg.get("data", {})
+    train_cfg = cfg.get("training", {})
+    args = argparse.Namespace(**vars(parse_args(args=[], allow_missing=True)))
+
+    if model_cfg.get("pretrained_model_name_or_path"):
+        args.pretrained_model_name_or_path = model_cfg["pretrained_model_name_or_path"]
+    if model_cfg.get("hf_token"):
+        args.hf_token = _resolve_env_token(model_cfg.get("hf_token"))
+    if model_cfg.get("rgba_vae_path"):
+        args.rgba_vae_path = model_cfg["rgba_vae_path"]
+    if model_cfg.get("vae_subfolder") is not None:
+        args.vae_subfolder = model_cfg["vae_subfolder"]
+
+    if data_cfg.get("root"):
+        args.data_root = data_cfg["root"]
+    for src, dst, cast in (
+        ("train_split", "train_split", str),
+        ("val_split", "val_split", str),
+        ("batch_size", "batch_size", int),
+        ("val_batch_size", "val_batch_size", int),
+        ("num_workers", "num_workers", int),
+        ("drop_last", "drop_last", bool),
+        ("interleave_buckets", "interleave_buckets", bool),
+    ):
+        if data_cfg.get(src) is not None:
+            setattr(args, dst, cast(data_cfg[src]))
+
+    for src, dst, cast in (
+        ("mixed_precision", "mixed_precision", str),
+        ("grad_accum_steps", "grad_accum_steps", int),
+        ("learning_rate", "learning_rate", float),
+        ("weight_decay", "weight_decay", float),
+        ("adam_beta1", "adam_beta1", float),
+        ("adam_beta2", "adam_beta2", float),
+        ("adam_eps", "adam_eps", float),
+        ("max_train_steps", "max_train_steps", int),
+        ("log_every", "log_every", int),
+        ("save_every", "save_every", int),
+        ("ckpt_every_steps", "save_every", int),  # synonym
+        ("ckpt_dir", "ckpt_dir", str),
+        ("output_dir", "output_dir", str),
+        ("val_output_dir", "val_output_dir", str),
+        ("val_every", "val_every", int),
+        ("val_every_steps", "val_every", int),  # synonym
+        ("val_max_samples", "val_max_samples", int),
+        ("val_num_inference_steps", "val_num_inference_steps", int),
+        ("run_validation_on_start", "run_validation_on_start", bool),
+        ("rank", "rank", int),
+        ("lora_alpha", "lora_alpha", int),
+        ("max_grad_norm", "max_grad_norm", float),
+        ("seed", "seed", int),
+    ):
+        if train_cfg.get(src) is not None:
+            setattr(args, dst, cast(train_cfg[src]))
+    if train_cfg.get("val_max_batches") is not None:
+        args.val_max_samples = int(train_cfg["val_max_batches"]) * args.val_batch_size
+
+    missing = []
+    if not args.pretrained_model_name_or_path:
+        missing.append("model.pretrained_model_name_or_path")
+    if not args.rgba_vae_path:
+        missing.append("model.rgba_vae_path")
+    if not args.data_root:
+        missing.append("data.root")
+    if missing:
+        raise ValueError(f"Missing required config fields: {', '.join(missing)}")
+    return args
+
+
+def train_from_config(cfg: Dict[str, Any]) -> Dict[str, float]:
+    return train(build_args_from_cfg(cfg))
+
+
+def main() -> None:
+    train(parse_args())
+
+
+if __name__ == "__main__":
+    main()

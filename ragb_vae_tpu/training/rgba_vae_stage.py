@@ -583,7 +583,13 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
         pending = []
         return vals
 
+    from ragb_vae_tpu.utils.profiling import annotate, trace_context
+
     try:
+      with trace_context(
+          train_cfg.get("profile_dir", "outputs/trace"),
+          enabled=bool(train_cfg.get("profile", False)),
+      ):
         for epoch in range(epochs):
             train_loader.set_epoch(epoch)
             for batch in train_loader:
@@ -598,9 +604,10 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
                 )
                 images = jax.device_put(inputs, input_sharding)
                 key, sub = jax.random.split(key)
-                params, opt_state, metrics = train_step(
-                    params, opt_state, {"images": images}, sub
-                )
+                with annotate("rgba_vae_train_step", step=global_step):
+                    params, opt_state, metrics = train_step(
+                        params, opt_state, {"images": images}, sub
+                    )
                 global_step += 1
                 images_seen += inputs.shape[0]
                 pending.append(metrics)

@@ -1,0 +1,186 @@
+"""End-to-end LoRA training stage + inference CLI tests (tiny models)."""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from ragb_vae_tpu.models.flux_transformer import FluxTransformer2D, FluxTransformerConfig
+from ragb_vae_tpu.models.flux_weights import save_flux_transformer_params
+from ragb_vae_tpu.models.rgba_vae import RgbaVAE
+from ragb_vae_tpu.models.vae_config import AutoencoderConfig
+from ragb_vae_tpu.models.weights import save_autoencoder_params
+from ragb_vae_tpu.training.flux_kontext_textalpha_lora import (
+    build_args_from_cfg,
+    train_from_config,
+)
+from tests.data_fixtures import make_text_alpha_tree
+
+
+@pytest.fixture(scope="module")
+def pretrained_dir(tmp_path_factory):
+    """A local HF-layout FLUX checkpoint dir with tiny weights."""
+    root = tmp_path_factory.mktemp("flux") / "flux_tiny"
+    t_cfg = FluxTransformerConfig.tiny()
+    model = FluxTransformer2D(t_cfg)
+    import jax.numpy as jnp
+
+    dummy = dict(
+        hidden_states=jnp.zeros((1, 4, t_cfg.in_channels)),
+        encoder_hidden_states=jnp.zeros((1, 2, t_cfg.joint_attention_dim)),
+        pooled_projections=jnp.zeros((1, t_cfg.pooled_projection_dim)),
+        timestep=jnp.asarray([0.5]),
+        img_ids=jnp.zeros((4, 3)),
+        txt_ids=jnp.zeros((2, 3)),
+        guidance=jnp.asarray([3.5]),
+    )
+    params = model.init(jax.random.PRNGKey(0), **dummy)["params"]
+    save_flux_transformer_params(t_cfg, params, root / "transformer")
+
+    (root / "scheduler").mkdir(parents=True)
+    (root / "scheduler" / "scheduler_config.json").write_text(
+        json.dumps({"num_train_timesteps": 1000, "shift": 3.0, "use_dynamic_shifting": True})
+    )
+    rng = np.random.default_rng(0)
+    np.savez(
+        root / "empty_prompt_embeds.npz",
+        prompt_embeds=rng.standard_normal((1, 4, t_cfg.joint_attention_dim)).astype(np.float32),
+        pooled_prompt_embeds=rng.standard_normal((1, t_cfg.pooled_projection_dim)).astype(np.float32),
+        text_ids=np.zeros((4, 3), np.float32),
+    )
+
+    # tiny RGBA VAE (sample_size 64 keeps the train-time mu sane)
+    vae_cfg = AutoencoderConfig.tiny()
+    vae_cfg.in_channels = 4
+    vae_cfg.out_channels = 4
+    vae_cfg.sample_size = 64
+    vae = RgbaVAE(config=vae_cfg)
+    vae_params = vae.init_params(jax.random.PRNGKey(1), image_size=32)
+    save_autoencoder_params(vae_cfg, vae_params, root / "vae")
+    return root
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ta") / "text_alpha"
+    return make_text_alpha_tree(root, n=8)
+
+
+def _cfg(pretrained_dir, data_root, out, **train_overrides):
+    training = {
+        "stage": "kontext_textalpha_lora",
+        "mixed_precision": "no",
+        "learning_rate": 1e-3,
+        "max_train_steps": 2,
+        "rank": 2,
+        "lora_alpha": 4,
+        "log_every": 1,
+        "save_every": 0,
+        "ckpt_dir": str(out / "ckpts"),
+        "val_every": 0,
+        "val_output_dir": str(out / "val"),
+        "val_num_inference_steps": 1,
+        "seed": 0,
+    }
+    training.update(train_overrides)
+    return {
+        "model": {
+            "pretrained_model_name_or_path": str(pretrained_dir),
+            "rgba_vae_path": str(pretrained_dir / "vae"),
+            "vae_subfolder": "",
+        },
+        "data": {"root": str(data_root), "train_split": "train", "batch_size": 4,
+                 "num_workers": 0},
+        "training": training,
+    }
+
+
+def test_build_args_from_cfg_synonyms(pretrained_dir, data_root, tmp_path):
+    cfg = _cfg(pretrained_dir, data_root, tmp_path)
+    cfg["training"]["ckpt_every_steps"] = 123
+    cfg["training"]["val_every_steps"] = 77
+    cfg["training"]["val_max_batches"] = 5
+    cfg["data"]["val_batch_size"] = 2
+    args = build_args_from_cfg(cfg)
+    assert args.save_every == 123
+    assert args.val_every == 77
+    assert args.val_max_samples == 10
+    assert args.rank == 2 and args.lora_alpha == 4
+
+    bad = _cfg(pretrained_dir, data_root, tmp_path)
+    del bad["model"]["rgba_vae_path"]
+    with pytest.raises(ValueError, match="rgba_vae_path"):
+        build_args_from_cfg(bad)
+
+
+def test_lora_train_end_to_end(pretrained_dir, data_root, tmp_path):
+    cfg = _cfg(pretrained_dir, data_root, tmp_path)
+    metrics = train_from_config(cfg)
+    assert metrics["global_step"] == 2.0
+    assert np.isfinite(metrics["train/loss"])
+    final = tmp_path / "ckpts" / "final"
+    assert (final / "pytorch_lora_weights.safetensors").exists()
+    meta = json.loads((final / "metadata.json").read_text())
+    assert meta["rank"] == 2 and meta["step"] == 2
+
+
+def test_lora_train_with_validation(pretrained_dir, data_root, tmp_path):
+    cfg = _cfg(
+        pretrained_dir,
+        data_root,
+        tmp_path,
+        max_train_steps=1,
+        run_validation_on_start=True,
+    )
+    cfg["data"]["val_split"] = "train"  # fixture has train split only
+    cfg["data"]["val_batch_size"] = 1
+    cfg["training"]["val_max_samples"] = 1
+    train_from_config(cfg)
+    pairs = list((tmp_path / "val" / "step-start").glob("*_pair.png"))
+    assert len(pairs) == 1
+
+
+def test_inference_cli(pretrained_dir, tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    inp = tmp_path / "in.png"
+    Image.fromarray(rng.integers(0, 256, (64, 64, 4), dtype=np.uint8), "RGBA").save(inp)
+    out = tmp_path / "out.png"
+
+    lora_dir = tmp_path / "lora"
+    # train one step to produce LoRA weights + metadata
+    cfg = _cfg(pretrained_dir, tmp_path / "d", tmp_path, max_train_steps=1)
+    cfg["data"]["root"] = str(make_text_alpha_tree(tmp_path / "d", n=2))
+    cfg["training"]["ckpt_dir"] = str(lora_dir)
+    train_from_config(cfg)
+
+    env = {"JAX_PLATFORMS": "cpu", "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    import os
+
+    result = subprocess.run(
+        [
+            sys.executable,
+            str(Path(__file__).resolve().parent.parent / "inference_rgba_flux.py"),
+            "--pretrained_model_name_or_path", str(pretrained_dir),
+            "--rgba_vae_path", str(pretrained_dir / "vae"),
+            "--vae_subfolder", "",
+            "--lora_path", str(lora_dir / "final"),
+            "--input_image", str(inp),
+            "--output_path", str(out),
+            "--steps", "1",
+            "--seed", "0",
+            "--precision", "fp32",
+        ],
+        capture_output=True,
+        text=True,
+        env={**os.environ, **env},
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert out.exists()
+    arr = np.asarray(Image.open(out))
+    assert arr.shape == (64, 64, 4)
