@@ -64,14 +64,22 @@ def main() -> None:
                 device,
             )
             key = jax.random.PRNGKey(1)
-            for _ in range(args.warmup):
-                encode_decode(params, x, key).block_until_ready()
-            t0 = time.perf_counter()
-            for i in range(args.iters):
+
+            def run(i):
                 out = encode_decode(params, x, jax.random.fold_in(key, i))
-            out.block_until_ready()
-            dt = time.perf_counter() - t0
-            value = batch * args.iters / dt
+                # fetch a scalar: forces true completion even if
+                # block_until_ready returns early on tunneled backends
+                return float(jnp.mean(out[:, ::256, ::256, 0]))
+
+            for i in range(args.warmup):
+                run(1000 + i)
+            times = []
+            for i in range(args.iters):
+                t0 = time.perf_counter()
+                run(i)
+                times.append(time.perf_counter() - t0)
+            log(f"[bench] per-iter seconds: {[round(t, 4) for t in times]}")
+            value = batch * args.iters / sum(times)
             used_batch = batch
             break
         except Exception as exc:  # OOM at this batch — try smaller

@@ -40,9 +40,20 @@ def pil_to_array(img: Image.Image) -> np.ndarray:
 def load_rgba(path: Union[str, Path]) -> np.ndarray:
     """Decode an image file as RGBA -> (H, W, 4) float32 in [0,1].
 
-    Error surfaces carry the offending path (bucket_dataset.py:271-282).
+    PNGs take the native C++ path (libpng decode + normalize in one pass,
+    native/rgba_io.cpp) when the library is built; everything else — and
+    any native failure — goes through PIL. Error surfaces carry the
+    offending path (bucket_dataset.py:271-282).
     """
     path = Path(path)
+    if path.suffix.lower() == ".png":
+        from ragb_vae_tpu.data import native_io
+
+        if native_io.available():
+            try:
+                return native_io.decode_png(path)
+            except Exception:
+                pass  # fall through to PIL (interlaced/odd PNGs, races)
     try:
         with Image.open(path) as img:
             rgba = img.convert("RGBA")

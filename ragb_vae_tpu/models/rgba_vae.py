@@ -58,11 +58,34 @@ class RgbaVAE:
     eb2: Tuple[float, float, float] = DEFAULT_EB2
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # diffusers enable_tiling/enable_slicing equivalents (reference
+    # rgba_vae_stage.py:296-304). Tiling bounds activation memory for
+    # buckets above tile_sample_size; slicing serializes the batch (kept
+    # for parity but off by default — it defeats MXU batching on TPU).
+    use_tiling: bool = False
+    use_slicing: bool = False
+    tile_sample_size: Optional[int] = None
+    tile_overlap_factor: float = 0.25
 
     def __post_init__(self):
         if len(self.eb) != 3 or len(self.eb2) != 3:
             raise ValueError("custom_eb and custom_eb2 must each provide three channel weights.")
         self.module = AutoencoderKL(self.config, dtype=self.dtype, remat=self.remat)
+
+    # diffusers-API-parity toggles
+    def enable_tiling(self, tile_sample_size: Optional[int] = None) -> None:
+        self.use_tiling = True
+        if tile_sample_size is not None:
+            self.tile_sample_size = tile_sample_size
+
+    def disable_tiling(self) -> None:
+        self.use_tiling = False
+
+    def enable_slicing(self) -> None:
+        self.use_slicing = True
+
+    def disable_slicing(self) -> None:
+        self.use_slicing = False
 
     # ------------------------------------------------------------------
     # Construction
@@ -128,10 +151,19 @@ class RgbaVAE:
     # Forward paths (parity with rgba_vae.py:274-281,338-341)
     # ------------------------------------------------------------------
     def forward(self, params, x: Array, key: jax.Array, *, sample: bool = True):
-        """[0,1] RGBA/RGB in -> ([0,1] clamped RGBA recon, posterior)."""
+        """[0,1] RGBA/RGB in -> ([0,1] clamped RGBA recon, posterior).
+
+        Routed through encode/decode so tiling/slicing apply here too.
+        """
         x_rgba = ensure_alpha(x)
-        vae_input = to_vae_range(x_rgba)
-        recon, posterior = self.module.apply({"params": params}, vae_input, key, sample=sample)
+        vae_input = to_vae_range(x_rgba).astype(self.dtype)
+        posterior = self.encode(params, vae_input)
+        z = (
+            posterior.sample(key, dtype=self.dtype)
+            if sample
+            else posterior.mode().astype(self.dtype)
+        )
+        recon = self.decode(params, z)
         recon = jnp.clip(from_vae_range(recon.astype(jnp.float32)), 0.0, 1.0)
         return recon, posterior
 
@@ -139,14 +171,60 @@ class RgbaVAE:
         return self.forward(params, x, key)
 
     def encode(self, params, x_vae_range: Array) -> DiagonalGaussian:
-        """Raw encode on [-1,1] inputs (the training loop's entry point)."""
-        return self.module.apply(
-            {"params": params}, x_vae_range, method=lambda m, v: m.encode(v)
+        """Raw encode on [-1,1] inputs (the training loop's entry point).
+
+        Honors tiling (moments blended across overlapping tiles, diffusers
+        semantics) and slicing when enabled.
+        """
+        from ragb_vae_tpu.models.vae_tiling import (
+            needs_tiling,
+            sliced_apply,
+            tiled_encode_moments,
         )
+
+        def moments(v: Array) -> Array:
+            return self.module.apply(
+                {"params": params}, v, method=lambda m, t: m.encode(t).params
+            )
+
+        tile = self.tile_sample_size or self.config.sample_size
+        fn = moments
+        if self.use_tiling and needs_tiling(x_vae_range.shape[1], x_vae_range.shape[2], tile):
+            fn = lambda v: tiled_encode_moments(
+                moments,
+                v,
+                tile_sample=tile,
+                spatial_scale=self.config.spatial_scale_factor,
+                overlap_factor=self.tile_overlap_factor,
+            )
+        out = sliced_apply(fn, x_vae_range) if self.use_slicing else fn(x_vae_range)
+        return DiagonalGaussian.from_params(out)
 
     def decode(self, params, z: Array) -> Array:
         """Raw decode -> [-1,1] output (training loop's entry point)."""
-        return self.module.apply({"params": params}, z, method=lambda m, v: m.decode(v))
+        from ragb_vae_tpu.models.vae_tiling import (
+            needs_tiling,
+            sliced_apply,
+            tiled_decode,
+        )
+
+        def dec(v: Array) -> Array:
+            return self.module.apply({"params": params}, v, method=lambda m, t: m.decode(t))
+
+        scale = self.config.spatial_scale_factor
+        tile_latent = (self.tile_sample_size or self.config.sample_size) // scale
+        fn = dec
+        if self.use_tiling and needs_tiling(
+            z.shape[1] * scale, z.shape[2] * scale, tile_latent * scale
+        ):
+            fn = lambda v: tiled_decode(
+                dec,
+                v,
+                tile_latent=tile_latent,
+                spatial_scale=scale,
+                overlap_factor=self.tile_overlap_factor,
+            )
+        return sliced_apply(fn, z) if self.use_slicing else fn(z)
 
     def reconstruct(self, params, x: Array, key: jax.Array) -> Array:
         recon, _ = self.forward(params, x, key)

@@ -1,0 +1,136 @@
+"""Tiled / sliced VAE encode-decode (bounded-memory big images).
+
+Semantics parity with diffusers' `enable_tiling`/`enable_slicing`, which
+the reference turns on for training and uses implicitly for big buckets
+(rgba_vae_stage.py:296-304): overlapping spatial tiles are processed
+independently and linear-ramp-blended in the output space (moments for
+encode, samples for decode), exactly reproducing diffusers'
+`tiled_encode`/`tiled_decode` blend/crop arithmetic; slicing maps the
+batch one sample at a time.
+
+The tile grid is static at trace time (shapes are known under jit), so
+the Python tile loops unroll into one XLA program — peak activation
+memory drops from O(H*W) to O(tile^2) per layer while everything still
+pipelines on-device. Gradients flow through tiles and blends, giving a
+checkpoint-friendly training path the reference only had via diffusers'
+inference-oriented implementation.
+"""
+from __future__ import annotations
+
+from typing import Callable, List
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+DEFAULT_OVERLAP_FACTOR = 0.25
+
+
+def blend_v(above: Array, below: Array, blend_extent: int) -> Array:
+    """Blend the top rows of `below` with the bottom rows of `above` (axis 1)."""
+    extent = min(above.shape[1], below.shape[1], blend_extent)
+    if extent <= 0:
+        return below
+    ramp = (jnp.arange(extent, dtype=jnp.float32) / extent).reshape(1, extent, 1, 1)
+    top = above[:, -extent:].astype(jnp.float32) * (1.0 - ramp) + below[:, :extent].astype(
+        jnp.float32
+    ) * ramp
+    return jnp.concatenate([top.astype(below.dtype), below[:, extent:]], axis=1)
+
+
+def blend_h(left: Array, right: Array, blend_extent: int) -> Array:
+    """Blend the left cols of `right` with the right cols of `left` (axis 2)."""
+    extent = min(left.shape[2], right.shape[2], blend_extent)
+    if extent <= 0:
+        return right
+    ramp = (jnp.arange(extent, dtype=jnp.float32) / extent).reshape(1, 1, extent, 1)
+    lead = left[:, :, -extent:].astype(jnp.float32) * (1.0 - ramp) + right[
+        :, :, :extent
+    ].astype(jnp.float32) * ramp
+    return jnp.concatenate([lead.astype(right.dtype), right[:, :, extent:]], axis=2)
+
+
+def _tiled_apply(
+    fn: Callable[[Array], Array],
+    x: Array,
+    *,
+    tile_in: int,
+    scale: float,
+    overlap_factor: float,
+) -> Array:
+    """Shared diffusers tiling arithmetic; `scale` = out_size / in_size."""
+    stride = int(tile_in * (1.0 - overlap_factor))
+    tile_out = int(tile_in * scale)
+    blend_extent = int(tile_out * overlap_factor)
+    limit = tile_out - blend_extent
+
+    h, w = x.shape[1], x.shape[2]
+    rows: List[List[Array]] = []
+    for i in range(0, h, stride):
+        row = []
+        for j in range(0, w, stride):
+            row.append(fn(x[:, i : i + tile_in, j : j + tile_in, :]))
+        rows.append(row)
+
+    out_rows = []
+    for i, row in enumerate(rows):
+        out_row = []
+        for j, tile in enumerate(row):
+            # blend against the UNBLENDED neighbors, like diffusers
+            if i > 0:
+                tile = blend_v(rows[i - 1][j], tile, blend_extent)
+            if j > 0:
+                tile = blend_h(row[j - 1], tile, blend_extent)
+            out_row.append(tile[:, :limit, :limit, :])
+        out_rows.append(jnp.concatenate(out_row, axis=2))
+    return jnp.concatenate(out_rows, axis=1)
+
+
+def tiled_encode_moments(
+    encode_moments: Callable[[Array], Array],
+    x: Array,
+    *,
+    tile_sample: int,
+    spatial_scale: int,
+    overlap_factor: float = DEFAULT_OVERLAP_FACTOR,
+) -> Array:
+    """x (B, H, W, C) -> blended Gaussian moments (B, h, w, 2*zC)."""
+    return _tiled_apply(
+        encode_moments,
+        x,
+        tile_in=tile_sample,
+        scale=1.0 / spatial_scale,
+        overlap_factor=overlap_factor,
+    )
+
+
+def tiled_decode(
+    decode: Callable[[Array], Array],
+    z: Array,
+    *,
+    tile_latent: int,
+    spatial_scale: int,
+    overlap_factor: float = DEFAULT_OVERLAP_FACTOR,
+) -> Array:
+    """z (B, h, w, zC) -> blended reconstruction (B, H, W, C)."""
+    return _tiled_apply(
+        decode,
+        z,
+        tile_in=tile_latent,
+        scale=float(spatial_scale),
+        overlap_factor=overlap_factor,
+    )
+
+
+def sliced_apply(fn: Callable[[Array], Array], x: Array) -> Array:
+    """Per-sample batch slicing (diffusers enable_slicing): identical
+    numerics, peak memory of a single sample."""
+    if x.shape[0] == 1:
+        return fn(x)
+    outs = [fn(x[i : i + 1]) for i in range(x.shape[0])]
+    return jnp.concatenate(outs, axis=0)
+
+
+def needs_tiling(height: int, width: int, tile_sample: int) -> bool:
+    """diffusers gate: tile only when the image exceeds the tile size."""
+    return height > tile_sample or width > tile_sample

@@ -451,6 +451,15 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
     )
     params = jax.device_put(params, replicated(mesh))
 
+    # diffusers-parity knobs (reference :296-304). vae_slicing defaults OFF
+    # here (deviation): per-sample slicing defeats MXU batching on TPU while
+    # tiling already bounds memory; set training.vae_slicing: true to match
+    # the reference exactly.
+    if train_cfg.get("vae_tiling", True):
+        model.enable_tiling(train_cfg.get("vae_tile_sample_size"))
+    if train_cfg.get("vae_slicing", False):
+        model.enable_slicing()
+
     train_loader = build_dataloader(cfg, split="train")
     val_loader = None
     if train_cfg.get("run_validation", True):
