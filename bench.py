@@ -26,13 +26,82 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def psnr_delta_mode(size: int) -> None:
+    """Secondary metric: reconstruction-PSNR delta between the JAX bf16 VAE
+    and an independent fp32 torch restatement of AutoencoderKL on identical
+    weights (BASELINE.json: <=0.1 dB target). Deterministic (posterior mode)."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent))
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ragb_vae_tpu.models.rgba_vae import RgbaVAE
+    from ragb_vae_tpu.models.vae_config import AutoencoderConfig
+    from ragb_vae_tpu.models.weights import torch_state_to_flax_params
+    from tests.torch_vae_ref import TorchVAERef, make_state
+
+    config = AutoencoderConfig.flux()
+    config.in_channels = 4
+    config.out_channels = 4
+    state = make_state(config, seed=0)
+    params = torch_state_to_flax_params(state)
+    model = RgbaVAE(config=config, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    x = rng.random((1, size, size, 4)).astype(np.float32)
+
+    recon_jax, _ = jax.jit(
+        lambda p, v: model.forward(p, v, jax.random.PRNGKey(0), sample=False)
+    )(params, jnp.asarray(x))
+    recon_jax = np.asarray(recon_jax)
+
+    ref = TorchVAERef(config, state)
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2) * 2.0 - 1.0
+        moments = ref.encode_moments(xt)
+        z = moments.chunk(2, dim=1)[0]  # mean (posterior mode)
+        recon_t = ref.decode(z).clamp(-1, 1)
+        recon_torch = ((recon_t + 1) / 2).permute(0, 2, 3, 1).numpy()
+
+    import math
+
+    def psnr(a, b):
+        mse = max(float(np.mean((a - b) ** 2)), 1e-10)
+        return -10.0 * math.log10(mse)
+
+    p_jax = psnr(recon_jax, x)
+    p_torch = psnr(np.clip(recon_torch, 0, 1), x)
+    delta = abs(p_jax - p_torch)
+    log(f"[bench] PSNR jax-bf16 {p_jax:.3f} dB, torch-fp32 {p_torch:.3f} dB")
+    print(
+        json.dumps(
+            {
+                "metric": f"recon_psnr_delta_vs_torch_{size}px",
+                "value": round(delta, 4),
+                "unit": "dB",
+                "vs_baseline": round(0.1 / max(delta, 1e-4), 3),
+            }
+        )
+    )
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--batches", type=int, nargs="*", default=[4, 2, 1])
+    parser.add_argument(
+        "--metric", choices=["throughput", "psnr_delta"], default="throughput"
+    )
     args = parser.parse_args()
+
+    if args.metric == "psnr_delta":
+        psnr_delta_mode(min(args.size, 256))
+        return
 
     import jax
     import jax.numpy as jnp

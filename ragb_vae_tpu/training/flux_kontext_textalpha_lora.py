@@ -246,6 +246,10 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
         )
         print(f"[ckpt] saved LoRA weights to {save_dir}")
 
+    from ragb_vae_tpu.utils.metrics_logger import MetricsLogger
+
+    metrics_logger = MetricsLogger(args.ckpt_dir)
+
     key = jax.random.PRNGKey(args.seed)
     if args.run_validation_on_start:
         key, sub = jax.random.split(key)
@@ -277,6 +281,7 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
                 if not np.isfinite(last_loss):
                     raise FloatingPointError(f"Non-finite loss at step {total_steps}.")
                 lr_now = float(lr_schedule(total_steps))
+                metrics_logger.log({"train/loss": last_loss, "lr": lr_now}, step=total_steps)
                 rate = total_steps / max(time.time() - t0, 1e-9)
                 print(
                     f"[step {total_steps}] loss={last_loss:.4f} lr={lr_now:.6f} "

@@ -319,6 +319,19 @@ def save_validation_grid(
 # ---------------------------------------------------------------------------
 # Validation (parity with evaluate_rgba_vae, :718-784)
 # ---------------------------------------------------------------------------
+def resolve_background_spec(spec):
+    """'white'/'black'/scalar/sequence -> background value
+    (reference resolve_background_spec, rgba_vae_stage.py:787-795)."""
+    if isinstance(spec, str):
+        lowered = spec.lower()
+        if lowered == "white":
+            return 1.0
+        if lowered == "black":
+            return 0.0
+        raise ValueError(f"Unknown background spec '{spec}'.")
+    return spec
+
+
 def evaluate_rgba_vae(
     model: RgbaVAE,
     params,
@@ -331,14 +344,16 @@ def evaluate_rgba_vae(
     eval_step=None,
     key: Optional[jax.Array] = None,
 ) -> Dict[str, float]:
-    eval_step = eval_step or make_eval_step(model, mesh=mesh)
+    background_specs = list(eval_cfg.get("val_background_colors", ["white", "black"]))
+    eval_step = eval_step or make_eval_step(
+        model, mesh=mesh, background_specs=background_specs
+    )
     key = key if key is not None else jax.random.PRNGKey(0)
     max_batches = eval_cfg.get("val_max_batches")
     n_devices = mesh.devices.size if mesh is not None else 1
     sharding = batch_sharding(mesh) if mesh is not None else None
 
-    psnr_white: List[np.ndarray] = []
-    psnr_black: List[np.ndarray] = []
+    psnr_records: Dict[str, List[np.ndarray]] = {str(s): [] for s in background_specs}
     alpha_l1: List[np.ndarray] = []
     viz: List[Dict[str, np.ndarray]] = []
     viz_rows = int(eval_cfg.get("val_visual_rows", 8))
@@ -352,8 +367,8 @@ def evaluate_rgba_vae(
         )
         key, sub = jax.random.split(key)
         out = eval_step(params, images, sub)
-        psnr_white.append(np.asarray(out["psnr_white"])[:n_real])
-        psnr_black.append(np.asarray(out["psnr_black"])[:n_real])
+        for spec in background_specs:
+            psnr_records[str(spec)].append(np.asarray(out[f"psnr_{spec}"])[:n_real])
         alpha_l1.append(np.asarray(out["alpha_mae"])[:n_real])
         if len(viz) < viz_rows:
             viz.append(
@@ -366,18 +381,15 @@ def evaluate_rgba_vae(
             break
 
     metrics: Dict[str, float] = {}
-    if psnr_white:
-        metrics["val/psnr_white"] = float(np.concatenate(psnr_white).mean())
-        metrics["val/psnr_black"] = float(np.concatenate(psnr_black).mean())
+    if alpha_l1:
+        for spec in background_specs:
+            values = np.concatenate(psnr_records[str(spec)])
+            metrics[f"val/psnr_{spec}"] = float(values.mean())
+            print(
+                f"[RGBA-VAE][val] epoch {epoch} PSNR ({spec} background): "
+                f"{metrics[f'val/psnr_{spec}']:.2f} dB"
+            )
         metrics["val/alpha_mae"] = float(np.concatenate(alpha_l1).mean())
-        print(
-            f"[RGBA-VAE][val] epoch {epoch} PSNR (white background): "
-            f"{metrics['val/psnr_white']:.2f} dB"
-        )
-        print(
-            f"[RGBA-VAE][val] epoch {epoch} PSNR (black background): "
-            f"{metrics['val/psnr_black']:.2f} dB"
-        )
         print(f"[RGBA-VAE][val] epoch {epoch} alpha MAE: {metrics['val/alpha_mae']:.4f}")
     if viz:
         save_validation_grid(
@@ -592,7 +604,10 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
         pending = []
         return vals
 
+    from ragb_vae_tpu.utils.metrics_logger import MetricsLogger
     from ragb_vae_tpu.utils.profiling import annotate, trace_context
+
+    metrics_logger = MetricsLogger(train_cfg.get("metrics_dir", train_cfg.get("ckpt_dir")))
 
     try:
       with trace_context(
@@ -625,6 +640,7 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
                     last_metrics = materialize(global_step, epoch)
                 if log_every > 0 and global_step % log_every == 0:
                     last_metrics = materialize(global_step, epoch) or last_metrics
+                    metrics_logger.log(last_metrics, step=global_step)
                     loss_value = last_metrics.get("train/loss", float("nan"))
                     ips = images_seen / max(time.time() - t_start, 1e-9)
                     print(

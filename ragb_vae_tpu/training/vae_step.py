@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -191,18 +191,26 @@ def make_train_step(
     )
 
 
-def make_eval_step(model: RgbaVAE, *, mesh: Optional[Mesh] = None):
+def make_eval_step(
+    model: RgbaVAE,
+    *,
+    mesh: Optional[Mesh] = None,
+    background_specs: Sequence = ("white", "black"),
+):
     """Validation metrics step (reference evaluate_rgba_vae body,
-    rgba_vae_stage.py:730-753): sampled forward, PSNR over white/black
-    composites, alpha MAE. Returns per-sample vectors so the caller can
-    aggregate across batches/chips.
+    rgba_vae_stage.py:730-753): sampled forward, PSNR over the configured
+    background composites (val_background_colors), alpha MAE. Returns
+    per-sample vectors so the caller can aggregate across batches/chips.
     """
+    from ragb_vae_tpu.training.rgba_vae_stage import resolve_background_spec
+
+    backgrounds = [(str(s), resolve_background_spec(s)) for s in background_specs]
 
     def step(params, images, key):
         images = ensure_alpha(jnp.clip(images, 0.0, 1.0))
         recon, _ = model.forward(params, images, key)
         out = {}
-        for name, bg in (("white", 1.0), ("black", 0.0)):
+        for name, bg in backgrounds:
             gt_bg = composite_over_background(images, bg)
             recon_bg = composite_over_background(recon, bg)
             out[f"psnr_{name}"] = psnr(recon_bg, gt_bg)
@@ -214,10 +222,12 @@ def make_eval_step(model: RgbaVAE, *, mesh: Optional[Mesh] = None):
         return jax.jit(step)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
+    out_shardings = {f"psnr_{name}": bsh for name, _ in backgrounds}
+    out_shardings.update({"alpha_mae": bsh, "recon": bsh})
     return jax.jit(
         step,
         in_shardings=(rep, bsh, rep),
-        out_shardings={"psnr_white": bsh, "psnr_black": bsh, "alpha_mae": bsh, "recon": bsh},
+        out_shardings=out_shardings,
     )
 
 
