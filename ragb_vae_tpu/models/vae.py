@@ -32,9 +32,49 @@ from ragb_vae_tpu.ops.gaussian import DiagonalGaussian
 Array = jnp.ndarray
 
 
-def _group_norm(num_groups: int, name: str) -> nn.GroupNorm:
-    # Stats in fp32 for bf16 stability; torch's kernels accumulate in fp32 too.
-    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-6, dtype=jnp.float32, name=name)
+class FastGroupNorm(nn.Module):
+    """GroupNorm with fp32 statistics and compute-dtype application.
+
+    vs flax nn.GroupNorm(dtype=fp32): the input is reduced with fp32
+    ACCUMULATION but never materialized in fp32 — the normalize collapses
+    to one fused multiply-add `x*a + b` in the compute dtype with per-
+    (batch, channel) coefficients, halving the HBM traffic of every norm
+    layer in bf16 models (the VAE has ~60 of them on the 1024^2 path).
+    Param names (scale/bias) match nn.GroupNorm for checkpoint interop.
+    """
+
+    num_groups: int
+    epsilon: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        grouped = x.reshape(b, h * w, g, c // g)
+        mean = jnp.mean(grouped, axis=(1, 3), dtype=jnp.float32)  # (B, g)
+        meansq = jnp.mean(
+            jnp.square(grouped.astype(jnp.float32)), axis=(1, 3), dtype=jnp.float32
+        )
+        var = meansq - jnp.square(mean)
+        rstd = jax.lax.rsqrt(var + self.epsilon)  # (B, g)
+
+        # fold (mean, rstd, scale, bias) into per-(B, C) a, b coefficients
+        rstd_c = jnp.repeat(rstd, c // g, axis=1)  # (B, C)
+        mean_c = jnp.repeat(mean, c // g, axis=1)
+        a = scale[None, :] * rstd_c
+        bcoef = bias[None, :] - mean_c * a
+        a = a.reshape(b, 1, 1, c).astype(self.dtype)
+        bcoef = bcoef.reshape(b, 1, 1, c).astype(self.dtype)
+        return x.astype(self.dtype) * a + bcoef
+
+
+def _group_norm(num_groups: int, name: str, dtype=jnp.float32) -> "FastGroupNorm":
+    # Stats in fp32 for bf16 stability; application stays in compute dtype.
+    return FastGroupNorm(num_groups=num_groups, epsilon=1e-6, dtype=dtype, name=name)
 
 
 class ResnetBlock(nn.Module):
@@ -47,10 +87,10 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         in_channels = x.shape[-1]
-        h = _group_norm(self.num_groups, "norm1")(x)
+        h = _group_norm(self.num_groups, "norm1", self.dtype)(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = _group_norm(self.num_groups, "norm2")(h)
+        h = _group_norm(self.num_groups, "norm2", self.dtype)(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
@@ -126,7 +166,7 @@ class SpatialAttention(nn.Module):
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
         residual = x
-        y = _group_norm(self.num_groups, "group_norm")(x).astype(self.dtype)
+        y = _group_norm(self.num_groups, "group_norm", self.dtype)(x)
         y = y.reshape(b, h * w, c)
         q = nn.Dense(self.channels, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(self.channels, dtype=self.dtype, name="to_k")(y)
@@ -180,7 +220,7 @@ class Encoder(nn.Module):
             self.dtype,
             name="mid_block",
         )(x)
-        x = _group_norm(cfg.norm_num_groups, "conv_norm_out")(x)
+        x = _group_norm(cfg.norm_num_groups, "conv_norm_out", self.dtype)(x)
         x = nn.silu(x).astype(self.dtype)
         x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         return x
@@ -212,7 +252,7 @@ class Decoder(nn.Module):
                 z = block(out_ch, cfg.norm_num_groups, self.dtype, name=f"up_blocks_{i}_resnets_{j}")(z)
             if i < n_blocks - 1:
                 z = Upsample(out_ch, self.dtype, name=f"up_blocks_{i}_upsample")(z)
-        z = _group_norm(cfg.norm_num_groups, "conv_norm_out")(z)
+        z = _group_norm(cfg.norm_num_groups, "conv_norm_out", self.dtype)(z)
         z = nn.silu(z).astype(self.dtype)
         z = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(z)
         return z

@@ -8,6 +8,7 @@ annotations, gradient accumulation as a scan.
 from ragb_vae_tpu.parallel.grad_accum import accumulated_grads, split_microbatches
 from ragb_vae_tpu.parallel.mesh import (
     DATA_AXIS,
+    maybe_init_distributed,
     batch_sharding,
     create_mesh,
     pad_batch_to_mesh,
@@ -22,6 +23,7 @@ from ragb_vae_tpu.parallel.sharding import (
 
 __all__ = [
     "DATA_AXIS",
+    "maybe_init_distributed",
     "accumulated_grads",
     "batch_sharding",
     "create_mesh",

@@ -18,6 +18,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def maybe_init_distributed() -> bool:
+    """Initialize jax.distributed for multi-host pods when requested.
+
+    Gated on RAGB_MULTIHOST=1 (or an explicit coordinator env) because
+    auto-detection misfires on tunneled single-chip setups. One process
+    per host; afterwards jax.devices() spans the whole pod and the
+    1-D data mesh covers every chip (ICI intra-slice, DCN across slices).
+    """
+    import os
+
+    if not (
+        os.environ.get("RAGB_MULTIHOST") == "1"
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    ):
+        return False
+    jax.distributed.initialize()
+    return True
+
+
 def create_mesh(
     shape: Optional[Sequence[int]] = None,
     axis_names: Sequence[str] = (DATA_AXIS,),

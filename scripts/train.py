@@ -27,6 +27,9 @@ def main() -> None:
     )
     args = parser.parse_args()
 
+    from ragb_vae_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
     cfg = load_config(args.config)
     if args.stage:
         cfg.setdefault("training", {})["stage"] = args.stage
