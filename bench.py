@@ -126,6 +126,8 @@ def main() -> None:
 
     value = None
     used_batch = None
+    # sweep all requested batches; report the best img/s (memory failures
+    # at large batches fall through to smaller ones)
     for batch in args.batches:
         try:
             x = jax.device_put(
@@ -148,9 +150,11 @@ def main() -> None:
                 run(i)
                 times.append(time.perf_counter() - t0)
             log(f"[bench] per-iter seconds: {[round(t, 4) for t in times]}")
-            value = batch * args.iters / sum(times)
-            used_batch = batch
-            break
+            rate = batch * args.iters / sum(times)
+            log(f"[bench] batch {batch}: {rate:.3f} img/s")
+            if value is None or rate > value:
+                value = rate
+                used_batch = batch
         except Exception as exc:  # OOM at this batch — try smaller
             log(f"[bench] batch {batch} failed: {type(exc).__name__}: {exc}")
             continue
