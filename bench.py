@@ -119,10 +119,21 @@ def main() -> None:
     params = model.init_params(jax.random.PRNGKey(0), image_size=64)
     params = jax.device_put(params, device)
 
+    iters = args.iters
+
+    # The whole timed loop runs INSIDE one compiled call, each iteration
+    # consuming the previous reconstruction (data dependency forces
+    # sequential execution); one scalar fetch at the end. This amortizes
+    # the dispatch/RPC overhead of tunneled backends (~30 ms/call here,
+    # which would otherwise dominate) and defeats async-dispatch timing
+    # artifacts — block_until_ready alone is not trustworthy remotely.
     @jax.jit
-    def encode_decode(params, x, key):
-        recon, _ = model.forward(params, x, key)
-        return recon
+    def run_chain(params, x, key):
+        def body(i, carry):
+            recon, _ = model.forward(params, carry, jax.random.fold_in(key, i))
+            return recon
+        out = jax.lax.fori_loop(0, iters, body, x)
+        return jnp.mean(out[:, ::256, ::256, 0])
 
     value = None
     used_batch = None
@@ -135,23 +146,13 @@ def main() -> None:
                 device,
             )
             key = jax.random.PRNGKey(1)
-
-            def run(i):
-                out = encode_decode(params, x, jax.random.fold_in(key, i))
-                # fetch a scalar: forces true completion even if
-                # block_until_ready returns early on tunneled backends
-                return float(jnp.mean(out[:, ::256, ::256, 0]))
-
             for i in range(args.warmup):
-                run(1000 + i)
-            times = []
-            for i in range(args.iters):
-                t0 = time.perf_counter()
-                run(i)
-                times.append(time.perf_counter() - t0)
-            log(f"[bench] per-iter seconds: {[round(t, 4) for t in times]}")
-            rate = batch * args.iters / sum(times)
-            log(f"[bench] batch {batch}: {rate:.3f} img/s")
+                float(run_chain(params, x, jax.random.fold_in(key, 1000 + i)))
+            t0 = time.perf_counter()
+            float(run_chain(params, x, key))
+            dt = time.perf_counter() - t0
+            rate = batch * iters / dt
+            log(f"[bench] batch {batch}: {dt:.4f}s for {iters} chained iters -> {rate:.3f} img/s")
             if value is None or rate > value:
                 value = rate
                 used_batch = batch
