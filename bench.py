@@ -93,7 +93,7 @@ def main() -> None:
     parser.add_argument("--size", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
-    parser.add_argument("--batches", type=int, nargs="*", default=[4, 2, 1])
+    parser.add_argument("--batches", type=int, nargs="*", default=[2, 1])
     parser.add_argument(
         "--metric", choices=["throughput", "psnr_delta"], default="throughput"
     )
@@ -116,6 +116,9 @@ def main() -> None:
     config.in_channels = 4
     config.out_channels = 4
     model = RgbaVAE(config=config, dtype=jnp.bfloat16)
+    # per-sample slicing (lax.map) is the fast path on v5e: XLA conv
+    # pipelining degrades ~2x for batch >= 2 at 1024^2 (benchmarks/results.md)
+    model.enable_slicing()
     params = model.init_params(jax.random.PRNGKey(0), image_size=64)
     params = jax.device_put(params, device)
 

@@ -69,6 +69,8 @@ def main() -> None:
     )
     if args.lora_path:
         t_params = model.load_lora(t_params, args.lora_path)
+    # single-chip fast path: per-sample VAE slicing (benchmarks/results.md)
+    model.vae.enable_slicing()
 
     inp = load_rgba(args.input_image)[None]  # (1, H, W, 4) in [0, 1]
     key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)

@@ -124,11 +124,20 @@ def tiled_decode(
 
 def sliced_apply(fn: Callable[[Array], Array], x: Array) -> Array:
     """Per-sample batch slicing (diffusers enable_slicing): identical
-    numerics, peak memory of a single sample."""
+    numerics, peak memory of a single sample.
+
+    Implemented as `lax.map` (scan) so the per-sample body compiles ONCE
+    regardless of batch size. On v5e this is also a large THROUGHPUT win,
+    not just memory: XLA's conv pipelining degrades ~2x for batch >= 2 at
+    1024^2 (measured: 7.95 img/s as chained singles vs 4.28 img/s as one
+    batch-2 program — benchmarks/results.md), so batch-1-shaped internals
+    are the fast path on this hardware.
+    """
+    import jax
+
     if x.shape[0] == 1:
         return fn(x)
-    outs = [fn(x[i : i + 1]) for i in range(x.shape[0])]
-    return jnp.concatenate(outs, axis=0)
+    return jax.lax.map(lambda sample: fn(sample[None])[0], x)
 
 
 def needs_tiling(height: int, width: int, tile_sample: int) -> bool:

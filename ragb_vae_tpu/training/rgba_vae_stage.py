@@ -463,10 +463,12 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
     )
     params = jax.device_put(params, replicated(mesh))
 
-    # diffusers-parity knobs (reference :296-304). vae_slicing defaults OFF
-    # here (deviation): per-sample slicing defeats MXU batching on TPU while
-    # tiling already bounds memory; set training.vae_slicing: true to match
-    # the reference exactly.
+    # diffusers-parity knobs (reference :296-304). Tiling defaults ON like
+    # the reference. Slicing defaults OFF in the SHARDED training step only:
+    # sliced_apply scans over the batch axis, and scanning a mesh-sharded
+    # axis serializes across devices. (On a single chip slicing is a ~2x
+    # throughput WIN at 1024^2 — XLA's conv pipelining degrades for
+    # batch >= 2, see benchmarks/results.md — so bench/inference enable it.)
     if train_cfg.get("vae_tiling", True):
         model.enable_tiling(train_cfg.get("vae_tile_sample_size"))
     if train_cfg.get("vae_slicing", False):
