@@ -60,8 +60,10 @@ class RgbaVAE:
     remat: bool = False
     # diffusers enable_tiling/enable_slicing equivalents (reference
     # rgba_vae_stage.py:296-304). Tiling bounds activation memory for
-    # buckets above tile_sample_size; slicing serializes the batch (kept
-    # for parity but off by default — it defeats MXU batching on TPU).
+    # buckets above tile_sample_size; slicing processes one sample at a
+    # time — on v5e that is the conv FAST path at high resolution
+    # (benchmarks/results.md), and with a mesh it runs one sample PER
+    # DEVICE per scan step (see enable_slicing).
     use_tiling: bool = False
     use_slicing: bool = False
     tile_sample_size: Optional[int] = None
@@ -81,11 +83,25 @@ class RgbaVAE:
     def disable_tiling(self) -> None:
         self.use_tiling = False
 
-    def enable_slicing(self) -> None:
+    def enable_slicing(self, mesh=None, axis: str = "data") -> None:
+        """Per-sample slicing. With a `mesh`, slicing is mesh-aware: every
+        device keeps one sample per scan step (per-device batch 1) instead
+        of serializing the sharded batch axis."""
         self.use_slicing = True
+        self._slicing_mesh = mesh
+        self._slicing_axis = axis
 
     def disable_slicing(self) -> None:
         self.use_slicing = False
+        self._slicing_mesh = None
+
+    def _sliced(self, fn, x: Array) -> Array:
+        from ragb_vae_tpu.models.vae_tiling import sharded_sliced_apply, sliced_apply
+
+        mesh = getattr(self, "_slicing_mesh", None)
+        if mesh is not None:
+            return sharded_sliced_apply(fn, x, mesh, getattr(self, "_slicing_axis", "data"))
+        return sliced_apply(fn, x)
 
     # ------------------------------------------------------------------
     # Construction
@@ -176,11 +192,7 @@ class RgbaVAE:
         Honors tiling (moments blended across overlapping tiles, diffusers
         semantics) and slicing when enabled.
         """
-        from ragb_vae_tpu.models.vae_tiling import (
-            needs_tiling,
-            sliced_apply,
-            tiled_encode_moments,
-        )
+        from ragb_vae_tpu.models.vae_tiling import needs_tiling, tiled_encode_moments
 
         def moments(v: Array) -> Array:
             return self.module.apply(
@@ -197,16 +209,12 @@ class RgbaVAE:
                 spatial_scale=self.config.spatial_scale_factor,
                 overlap_factor=self.tile_overlap_factor,
             )
-        out = sliced_apply(fn, x_vae_range) if self.use_slicing else fn(x_vae_range)
+        out = self._sliced(fn, x_vae_range) if self.use_slicing else fn(x_vae_range)
         return DiagonalGaussian.from_params(out)
 
     def decode(self, params, z: Array) -> Array:
         """Raw decode -> [-1,1] output (training loop's entry point)."""
-        from ragb_vae_tpu.models.vae_tiling import (
-            needs_tiling,
-            sliced_apply,
-            tiled_decode,
-        )
+        from ragb_vae_tpu.models.vae_tiling import needs_tiling, tiled_decode
 
         def dec(v: Array) -> Array:
             return self.module.apply({"params": params}, v, method=lambda m, t: m.decode(t))
@@ -224,7 +232,7 @@ class RgbaVAE:
                 spatial_scale=scale,
                 overlap_factor=self.tile_overlap_factor,
             )
-        return sliced_apply(fn, z) if self.use_slicing else fn(z)
+        return self._sliced(fn, z) if self.use_slicing else fn(z)
 
     def reconstruct(self, params, x: Array, key: jax.Array) -> Array:
         recon, _ = self.forward(params, x, key)

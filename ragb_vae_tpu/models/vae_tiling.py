@@ -140,6 +140,39 @@ def sliced_apply(fn: Callable[[Array], Array], x: Array) -> Array:
     return jax.lax.map(lambda sample: fn(sample[None])[0], x)
 
 
+def sharded_sliced_apply(fn: Callable[[Array], Array], x: Array, mesh, axis: str) -> Array:
+    """Mesh-aware slicing: per-DEVICE batch 1 inside a GSPMD-sharded step.
+
+    Scanning a mesh-sharded batch axis would serialize across chips, so
+    instead reshape (N, ...) -> (D, N/D, ...) with the leading axis still
+    sharded over the data mesh (a local reshape: device d owns rows
+    [d*N/D, (d+1)*N/D)), then scan the UNSHARDED local axis. Each scan
+    step runs `fn` on a (D, ...) tensor sharded one-sample-per-device —
+    the batch-1-shaped conv fast path (benchmarks/results.md) on every
+    chip in parallel. Numerics identical to the batched call.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    d = mesh.shape[axis]
+    n = x.shape[0]
+    if n <= d or n % d != 0:
+        return fn(x)
+    xr = x.reshape(d, n // d, *x.shape[1:])
+    xr = jax.lax.with_sharding_constraint(
+        xr, NamedSharding(mesh, P(axis, *([None] * (xr.ndim - 1))))
+    )
+
+    def body(carry, j):
+        step = jax.lax.dynamic_index_in_dim(xr, j, axis=1, keepdims=False)
+        return carry, fn(step)
+
+    _, outs = jax.lax.scan(body, None, jnp.arange(n // d))
+    # outs: (N/D, D, ...) -> (N, ...)
+    outs = jnp.swapaxes(outs, 0, 1)
+    return outs.reshape(n, *outs.shape[2:])
+
+
 def needs_tiling(height: int, width: int, tile_sample: int) -> bool:
     """diffusers gate: tile only when the image exceeds the tile size."""
     return height > tile_sample or width > tile_sample

@@ -463,16 +463,15 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
     )
     params = jax.device_put(params, replicated(mesh))
 
-    # diffusers-parity knobs (reference :296-304). Tiling defaults ON like
-    # the reference. Slicing defaults OFF in the SHARDED training step only:
-    # sliced_apply scans over the batch axis, and scanning a mesh-sharded
-    # axis serializes across devices. (On a single chip slicing is a ~2x
-    # throughput WIN at 1024^2 — XLA's conv pipelining degrades for
-    # batch >= 2, see benchmarks/results.md — so bench/inference enable it.)
+    # diffusers-parity knobs (reference :296-304), both defaulting ON like
+    # the reference. Slicing here is MESH-AWARE: the batch is viewed as
+    # (devices, local) and scanned over the local axis, so every chip runs
+    # batch-1-shaped convs in parallel — the v5e conv fast path
+    # (benchmarks/results.md) without serializing the sharded axis.
     if train_cfg.get("vae_tiling", True):
         model.enable_tiling(train_cfg.get("vae_tile_sample_size"))
-    if train_cfg.get("vae_slicing", False):
-        model.enable_slicing()
+    if train_cfg.get("vae_slicing", True):
+        model.enable_slicing(mesh=mesh)
 
     train_loader = build_dataloader(cfg, split="train")
     val_loader = None
