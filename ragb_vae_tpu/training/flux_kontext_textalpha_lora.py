@@ -123,6 +123,9 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
         lora_rank=args.rank,
         lora_alpha=float(args.lora_alpha),
     )
+    # mesh-aware per-device slicing for the cond/target VAE encodes
+    # (v5e conv fast path, benchmarks/results.md)
+    model.vae.enable_slicing(mesh=mesh)
     base_params, lora_params = split_lora_params(t_params)
     rep = replicated(mesh)
     base_params = jax.device_put(base_params, rep)
