@@ -77,6 +77,35 @@ def _group_norm(num_groups: int, name: str, dtype=jnp.float32) -> "FastGroupNorm
     return FastGroupNorm(num_groups=num_groups, epsilon=1e-6, dtype=dtype, name=name)
 
 
+class Conv3x3(nn.Module):
+    """3x3 stride-1 SAME conv via the Pallas implicit-GEMM kernel
+    (ops/pallas/conv3x3.py) with automatic fallback. NOT wired into the
+    model: the kernel beats XLA's emitter in isolation (+3-8%) but loses
+    ~32% end-to-end because the opaque pallas call breaks XLA's
+    norm/SiLU-into-conv producer fusions and adds an explicit pad pass
+    (7.96 -> 5.38 img/s at 1024^2, benchmarks/results.md). Kept as the
+    starting point for a FUSED pad+norm+act+conv kernel next round.
+    nn.Conv-compatible params (kernel HWIO, bias)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from ragb_vae_tpu.ops.pallas.conv3x3 import conv3x3_same_batched
+
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        out = conv3x3_same_batched(x.astype(self.dtype), kernel.astype(self.dtype))
+        return out + bias.astype(self.dtype)
+
+
 class ResnetBlock(nn.Module):
     """GroupNorm -> SiLU -> Conv3x3 (x2) with additive (1x1-projected) skip."""
 
