@@ -16,6 +16,7 @@ from ragb_vae_tpu.parallel.mesh import (
     shard_batch,
 )
 from ragb_vae_tpu.parallel.sharding import (
+    fsdp_sharding,
     replicated_tree,
     shard_tree,
     zero_sharding,
@@ -26,6 +27,7 @@ __all__ = [
     "maybe_init_distributed",
     "accumulated_grads",
     "batch_sharding",
+    "fsdp_sharding",
     "create_mesh",
     "pad_batch_to_mesh",
     "replicated",

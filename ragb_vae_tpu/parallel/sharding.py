@@ -62,6 +62,23 @@ def zero_sharding(
     return jax.tree_util.tree_map(leaf_sharding, tree)
 
 
+def fsdp_sharding(
+    tree: PyTree,
+    mesh: Mesh,
+    *,
+    axis: str = DATA_AXIS,
+    min_size: int = DEFAULT_MIN_SHARD_SIZE,
+) -> PyTree:
+    """FSDP/ZeRO-3-style parameter sharding: split each large weight across
+    the data axis and let GSPMD insert the per-layer all-gathers at use
+    sites. This is what makes FLUX-scale frozen bases (~12 GB bf16) fit on
+    16 GB v5e chips during LoRA training — the reference relies on 80 GB
+    GPUs and full DDP replication instead. Same leaf-splitting rule as the
+    optimizer-state sharding (they are literally the same transformation
+    applied to a different tree)."""
+    return zero_sharding(tree, mesh, axis=axis, min_size=min_size)
+
+
 def shard_tree(tree: PyTree, shardings: PyTree) -> PyTree:
     """device_put each leaf with its sharding (host->device or reshard)."""
     return jax.tree_util.tree_map(jax.device_put, tree, shardings)

@@ -94,6 +94,11 @@ def parse_args(args: Optional[List[str]] = None, *, allow_missing: bool = False)
     parser.add_argument("--drop_last", action="store_true")
     parser.add_argument("--interleave_buckets", action="store_true")
     parser.add_argument("--max_grad_norm", type=float, default=1.0)
+    parser.add_argument(
+        "--shard_base_params", action="store_true",
+        help="FSDP-style sharding of the frozen transformer base over the data "
+             "axis (needed when the base does not fit replicated per chip).",
+    )
     return parser.parse_args(args=args)
 
 
@@ -128,7 +133,14 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
     model.vae.enable_slicing(mesh=mesh)
     base_params, lora_params = split_lora_params(t_params)
     rep = replicated(mesh)
-    base_params = jax.device_put(base_params, rep)
+    if getattr(args, "shard_base_params", False):
+        # FSDP-style: frozen base sharded over the data axis; GSPMD inserts
+        # the per-layer all-gathers. Fits FLUX-scale bases on 16GB chips.
+        from ragb_vae_tpu.parallel import fsdp_sharding, shard_tree
+
+        base_params = shard_tree(base_params, fsdp_sharding(base_params, mesh))
+    else:
+        base_params = jax.device_put(base_params, rep)
     lora_params = jax.device_put(lora_params, rep)
     vae_params = jax.device_put(vae_params, rep)
 
@@ -361,6 +373,7 @@ def build_args_from_cfg(cfg: Dict[str, Any]) -> argparse.Namespace:
         ("rank", "rank", int),
         ("lora_alpha", "lora_alpha", int),
         ("max_grad_norm", "max_grad_norm", float),
+        ("shard_base_params", "shard_base_params", bool),
         ("seed", "seed", int),
     ):
         if train_cfg.get(src) is not None:

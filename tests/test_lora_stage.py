@@ -184,3 +184,17 @@ def test_inference_cli(pretrained_dir, tmp_path):
     assert out.exists()
     arr = np.asarray(Image.open(out))
     assert arr.shape == (64, 64, 4)
+
+
+def test_lora_train_with_fsdp_base(pretrained_dir, data_root, tmp_path):
+    """FSDP-sharded frozen base (GSPMD all-gathers) trains identically."""
+    cfg = _cfg(pretrained_dir, data_root, tmp_path / "rep", max_train_steps=1)
+    m_rep = train_from_config(cfg)
+
+    cfg2 = _cfg(pretrained_dir, data_root, tmp_path / "fsdp", max_train_steps=1)
+    cfg2["training"]["shard_base_params"] = True
+    m_fsdp = train_from_config(cfg2)
+
+    assert np.isfinite(m_fsdp["train/loss"])
+    # same data order + same RNG -> identical loss up to fp reassociation
+    assert abs(m_fsdp["train/loss"] - m_rep["train/loss"]) < 1e-3
