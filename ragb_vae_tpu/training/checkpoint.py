@@ -83,3 +83,22 @@ def latest_checkpoint(base: Union[str, Path]) -> Optional[Path]:
         return None
     candidates = sorted(p for p in base.iterdir() if p.is_dir() and p.name.startswith("step_"))
     return candidates[-1] if candidates else None
+
+
+def prune_checkpoints(base: Union[str, Path], keep_last: int) -> int:
+    """Keep only the newest `keep_last` step_* dirs; returns removed count.
+
+    Production-run disk hygiene the reference lacks (it accumulates every
+    step_* dir forever).
+    """
+    import shutil
+
+    base = Path(base)
+    if keep_last <= 0 or not base.exists():
+        return 0
+    candidates = sorted(p for p in base.iterdir() if p.is_dir() and p.name.startswith("step_"))
+    removed = 0
+    for stale in candidates[:-keep_last] if keep_last < len(candidates) else []:
+        shutil.rmtree(stale)
+        removed += 1
+    return removed

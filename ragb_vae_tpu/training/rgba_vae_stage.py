@@ -405,7 +405,8 @@ def evaluate_rgba_vae(
 # Checkpoints (parity with save_checkpoints, :875-893, plus real resume)
 # ---------------------------------------------------------------------------
 def save_checkpoints(model: RgbaVAE, params, cfg: Dict[str, Any], *, step=None, opt_state=None):
-    ckpt_dir = Path(cfg.get("training", {}).get("ckpt_dir", "checkpoints"))
+    train_cfg = cfg.get("training", {})
+    ckpt_dir = Path(train_cfg.get("ckpt_dir", "checkpoints"))
     target = ckpt_lib.checkpoint_dir(ckpt_dir, step)
     ckpt_lib.save_train_checkpoint(
         target,
@@ -414,6 +415,11 @@ def save_checkpoints(model: RgbaVAE, params, cfg: Dict[str, Any], *, step=None, 
         opt_state=opt_state,
         step=step or 0,
     )
+    keep_last = int(train_cfg.get("ckpt_keep_last", 0) or 0)
+    if keep_last > 0:
+        removed = ckpt_lib.prune_checkpoints(ckpt_dir, keep_last)
+        if removed:
+            print(f"[ckpt] pruned {removed} old checkpoints (keep_last={keep_last})")
     print(f"Saved RGBA-VAE checkpoints to {target}" + (f" (step {step})" if step else ""))
     return target
 
@@ -558,16 +564,22 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
 
     global_step = 0
     start_step = 0
-    if train_cfg.get("resume_from"):
+    resume_from = train_cfg.get("resume_from")
+    if resume_from == "auto":
+        # resume from the newest step_* checkpoint if one exists
+        resume_from = ckpt_lib.latest_checkpoint(train_cfg.get("ckpt_dir", "checkpoints"))
+        if resume_from is None:
+            print("[RGBA-VAE] resume_from: auto — no checkpoint found, starting fresh")
+    if resume_from:
         _, params_loaded, opt_loaded, meta = ckpt_lib.load_train_checkpoint(
-            train_cfg["resume_from"], opt_state_template=jax.device_get(opt_state)
+            resume_from, opt_state_template=jax.device_get(opt_state)
         )
         params = jax.device_put(params_loaded, replicated(mesh))
         if opt_loaded is not None:
             opt_state = jax.device_put(opt_loaded, jax.tree_util.tree_map(lambda x: x.sharding, opt_state))
         start_step = int(meta.get("step", 0))
         global_step = start_step
-        print(f"[RGBA-VAE] resumed from {train_cfg['resume_from']} at step {start_step}")
+        print(f"[RGBA-VAE] resumed from {resume_from} at step {start_step}")
 
     log_every = int(train_cfg.get("log_every", 50))
     nan_check_every = int(train_cfg.get("nan_check_every", log_every))

@@ -166,3 +166,21 @@ def test_train_rgba_vae_grad_accum_runs(tiny_ckpt, data_tree, tmp_path):
     )
     metrics = train_rgba_vae(cfg)
     assert np.isfinite(metrics["train/loss"])
+
+
+def test_auto_resume_and_ckpt_pruning(tiny_ckpt, data_tree, tmp_path):
+    cfg = _make_cfg(
+        tiny_ckpt, data_tree, tmp_path,
+        max_steps=2, run_validation=False, ckpt_every_steps=1, ckpt_keep_last=1,
+    )
+    train_rgba_vae(cfg)
+    ckpts = sorted((tmp_path / "ckpts").glob("step_*"))
+    assert len(ckpts) == 1, ckpts  # pruned to keep_last=1
+    assert ckpts[0].name == "step_0000002"
+
+    resume_cfg = _make_cfg(
+        tiny_ckpt, data_tree, tmp_path,
+        max_steps=1, run_validation=False, resume_from="auto",
+    )
+    metrics = train_rgba_vae(resume_cfg)
+    assert metrics["global_step"] == 3.0
