@@ -106,25 +106,69 @@ class Conv3x3(nn.Module):
         return out + bias.astype(self.dtype)
 
 
+class _GNParams(nn.Module):
+    """GroupNorm scale/bias with nn.GroupNorm-compatible names/init."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.channels,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
+        return scale, bias
+
+
 class ResnetBlock(nn.Module):
-    """GroupNorm -> SiLU -> Conv3x3 (x2) with additive (1x1-projected) skip."""
+    """GroupNorm -> SiLU -> Conv3x3 (x2) with additive (1x1-projected) skip.
+
+    fused=True runs each GN+SiLU+Conv chain as ONE Pallas kernel
+    (ops/pallas/fused_gn_silu_conv.py). The kernel beats the equivalent
+    XLA chain in isolation (+10-14% on the hot 1024^2/512^2 shapes) but
+    LOSES end-to-end (3.27 vs 7.96 img/s at 1024^2): the separate GN
+    stats pass and the broken residual/next-stats epilogue fusions cost
+    several extra HBM passes per block that XLA's global fusion avoids.
+    Default False; winning requires a whole-resnet-block kernel
+    (stats + both convs + residual), queued in ROADMAP.md. The param tree
+    matches the unfused module exactly, so checkpoints interchange.
+    """
 
     out_channels: int
     num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         in_channels = x.shape[-1]
-        h = _group_norm(self.num_groups, "norm1", self.dtype)(x)
-        h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = _group_norm(self.num_groups, "norm2", self.dtype)(h)
-        h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if self.fused:
+            from ragb_vae_tpu.ops.pallas.fused_gn_silu_conv import (
+                fused_gn_silu_conv3x3_batched,
+                group_norm_coeffs,
+            )
+
+            s1, g1 = _GNParams(in_channels, name="norm1")()
+            k1, cb1 = _Conv3x3Params(self.out_channels, in_channels, name="conv1")()
+            s2, g2 = _GNParams(self.out_channels, name="norm2")()
+            k2, cb2 = _Conv3x3Params(self.out_channels, self.out_channels, name="conv2")()
+
+            a1, b1 = group_norm_coeffs(x, s1, g1, self.num_groups)
+            h = fused_gn_silu_conv3x3_batched(
+                x.astype(self.dtype), a1, b1, k1.astype(self.dtype), cb1
+            )
+            a2, b2 = group_norm_coeffs(h, s2, g2, self.num_groups)
+            h = fused_gn_silu_conv3x3_batched(
+                h, a2, b2, k2.astype(self.dtype), cb2
+            )
+        else:
+            h = _group_norm(self.num_groups, "norm1", self.dtype)(x)
+            h = nn.silu(h).astype(self.dtype)
+            h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+            h = _group_norm(self.num_groups, "norm2", self.dtype)(h)
+            h = nn.silu(h).astype(self.dtype)
+            h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
-        return x + h
+        return x.astype(h.dtype) + h
 
 
 class Downsample(nn.Module):
