@@ -1,0 +1,27 @@
+"""Console entry points (pyproject [project.scripts])."""
+from __future__ import annotations
+
+import argparse
+
+
+def train_main() -> None:
+    parser = argparse.ArgumentParser(description="Train ragb-vae-tpu stages.")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--stage", default=None)
+    args = parser.parse_args()
+
+    from ragb_vae_tpu.config import load_config
+    from ragb_vae_tpu.parallel.mesh import maybe_init_distributed
+    from ragb_vae_tpu.training import run_stage
+
+    maybe_init_distributed()
+    cfg = load_config(args.config)
+    if args.stage:
+        cfg.setdefault("training", {})["stage"] = args.stage
+    run_stage(cfg)
+
+
+def infer_main() -> None:
+    from ragb_vae_tpu.inference import main
+
+    main()
