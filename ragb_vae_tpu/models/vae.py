@@ -319,11 +319,15 @@ class SpatialAttention(nn.Module):
         q = nn.Dense(self.channels, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(self.channels, dtype=self.dtype, name="to_k")(y)
         v = nn.Dense(self.channels, dtype=self.dtype, name="to_v")(y)
-        # flash kernel on TPU (16k tokens at 1024^2 never materialize SxS
-        # logits); exact chunked XLA fallback elsewhere
+        # Exact chunked XLA attention (bounded memory, no SxS logits).
+        # Measured FASTER than the pallas flash kernel here: the mid-block
+        # runs inside the per-sample lax.map slice scan, where opaque
+        # pallas calls pipeline poorly (8.37 vs 7.96 img/s e2e at 1024^2,
+        # benchmarks/results.md); the Flux transformer — outside any scan,
+        # with far longer sequences — keeps the flash kernel.
         from ragb_vae_tpu.ops.pallas import attention as fused_attention
 
-        attn = fused_attention(q[:, None], k[:, None], v[:, None])[:, 0]
+        attn = fused_attention(q[:, None], k[:, None], v[:, None], force_xla=True)[:, 0]
         out = nn.Dense(self.channels, dtype=self.dtype, name="to_out")(attn)
         return residual + out.reshape(b, h, w, c)
 
