@@ -88,6 +88,63 @@ def psnr_delta_mode(size: int) -> None:
     )
 
 
+def train_step_mode(size: int, batch: int, iters: int) -> None:
+    """Training-step throughput: the full jitted RGBA-VAE step (triplet
+    encode -> posterior split/sample -> decode -> AlphaVAE loss + KL ->
+    clip -> AdamW) at a bucket resolution — the reference's actual
+    workload (operating point: batch 4/device, bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ragb_vae_tpu.models.losses import AlphaVaeLossConfig
+    from ragb_vae_tpu.models.rgba_vae import RgbaVAE
+    from ragb_vae_tpu.models.vae_config import AutoencoderConfig
+    from ragb_vae_tpu.training.vae_step import (
+        VaeStepConfig,
+        make_optimizer,
+        make_train_step,
+    )
+
+    config = AutoencoderConfig.flux()
+    config.in_channels = 4
+    config.out_channels = 4
+    model = RgbaVAE(config=config, dtype=jnp.bfloat16, remat=True)
+    model.enable_slicing()
+    params = model.init_params(jax.random.PRNGKey(0), image_size=64)
+    tx = make_optimizer(1e-5, max_grad_norm=1.0)
+    step_cfg = VaeStepConfig(kl_scale=1e-6, compute_dtype=jnp.bfloat16)
+    loss_cfg = AlphaVaeLossConfig(reduce_mean=True)
+    opt_state = tx.init(params)
+    train_step = make_train_step(model, tx, loss_cfg, step_cfg, donate=False)
+
+    x = jnp.asarray(
+        np.random.default_rng(0).random((batch, size, size, 4)).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(1)
+
+    def run(i):
+        p, o, metrics = train_step(params, opt_state, {"images": x}, jax.random.fold_in(key, i))
+        return float(metrics["train/loss"])
+
+    run(1000)  # compile
+    t0 = time.perf_counter()
+    for i in range(iters):
+        run(i)
+    dt = time.perf_counter() - t0
+    rate = batch * iters / dt
+    log(f"[bench] train step {size}px batch {batch}: {dt/iters:.3f}s/step -> {rate:.3f} img/s")
+    print(
+        json.dumps(
+            {
+                "metric": f"rgba_vae_train_step_{size}px_bf16",
+                "value": round(rate, 3),
+                "unit": "img/s/chip",
+                "vs_baseline": round(rate / 1.0, 3),  # no published baseline
+            }
+        )
+    )
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=1024)
@@ -95,12 +152,17 @@ def main() -> None:
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--batches", type=int, nargs="*", default=[2, 1])
     parser.add_argument(
-        "--metric", choices=["throughput", "psnr_delta"], default="throughput"
+        "--metric",
+        choices=["throughput", "psnr_delta", "train_step"],
+        default="throughput",
     )
     args = parser.parse_args()
 
     if args.metric == "psnr_delta":
         psnr_delta_mode(min(args.size, 256))
+        return
+    if args.metric == "train_step":
+        train_step_mode(min(args.size, 512), args.batches[0], args.iters)
         return
 
     import jax
