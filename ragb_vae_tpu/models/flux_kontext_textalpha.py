@@ -366,11 +366,24 @@ class FluxTextAlphaModel:
         target_latent = jax.lax.stop_gradient(
             self.encode_latents(vae_params, text_alpha, k_tgt)
         )
-
         noise = jax.random.normal(k_noise, target_latent.shape, dtype=jnp.float32)
-        bsz = target_latent.shape[0]
+        u = compute_density_for_timestep_sampling(
+            k_t, target_latent.shape[0], weighting_scheme="logit_normal"
+        )
+        return self.compute_loss_from_latents(params, cond_latent, target_latent, noise, u)
 
-        u = compute_density_for_timestep_sampling(k_t, bsz, weighting_scheme="logit_normal")
+    def compute_loss_from_latents(
+        self,
+        params: PyTree,
+        cond_latent: Array,
+        target_latent: Array,
+        noise: Array,
+        u: Array,
+    ) -> Tuple[Array, Dict[str, Array]]:
+        """Deterministic core of the flow-matching loss (noise and the
+        logit-normal draws injected — the bit-faithful comparison point
+        called out in SURVEY.md §7's hard parts)."""
+        bsz = target_latent.shape[0]
         sched = self._train_sched
         n_train = self.scheduler.config.num_train_timesteps
         max_idx = min(len(sched.timesteps) - 1, len(sched.sigmas) - 1)
