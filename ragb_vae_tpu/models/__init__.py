@@ -3,6 +3,20 @@
 Public surface parity with /root/reference/src/models/__init__.py:6-31.
 """
 
+from ragb_vae_tpu.models.flux_kontext_textalpha import (
+    FluxTextAlphaModel,
+    encode_empty_prompt,
+    load_rgba_vae_from_path,
+    load_scheduler,
+    load_transformer,
+    read_lora_metadata,
+    write_lora_metadata,
+)
+from ragb_vae_tpu.models.flux_transformer import (
+    FluxTransformer2D,
+    FluxTransformerConfig,
+)
+from ragb_vae_tpu.models.scheduler import FlowMatchEulerScheduler
 from ragb_vae_tpu.models.losses import (
     AlphaVaeLossConfig,
     alphavae_reconstruction_loss,
@@ -29,6 +43,16 @@ AlphaVaeLoss = AlphaVaeLossConfig
 
 __all__ = [
     "AlphaVaeLoss",
+    "FlowMatchEulerScheduler",
+    "FluxTextAlphaModel",
+    "FluxTransformer2D",
+    "FluxTransformerConfig",
+    "encode_empty_prompt",
+    "load_rgba_vae_from_path",
+    "load_scheduler",
+    "load_transformer",
+    "read_lora_metadata",
+    "write_lora_metadata",
     "AlphaVaeLossConfig",
     "AutoencoderKL",
     "AutoencoderConfig",
