@@ -3,6 +3,13 @@
 Parity with bucket_dataset.py:238-309. Single-image samples are keyed
 "composite" (the training loop treats lone images as composites,
 rgba_vae_stage.py:587-590).
+
+Behavior-pinning note: the sample-dict keys ("composite"/variant names),
+the bucket_to_indices grouping, and the per-entry image resolution are
+data contracts consumed by the training stages and pinned by
+BASELINE.json's API-compat requirement — the class is intentionally a
+thin index over `build_bucket_entries` output and has little design
+freedom; torch tensors are replaced by numpy HWC float arrays.
 """
 from __future__ import annotations
 

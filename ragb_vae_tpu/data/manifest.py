@@ -3,6 +3,15 @@
 Behavioral parity with `build_bucket_entries` and the per-type standardizers
 (bucket_dataset.py:46-235). Entries are plain dicts:
   {split, root_dir, bucket, bucket_dims, image_path, source_sample, variant}
+
+Behavior-pinning note: the manifest JSON schemas (key names, nesting, the
+four dataset-type layouts), the entry-dict fields, and the
+per-variant path resolution are ALL external data contracts — they must
+read the exact directory trees and manifest files produced by the
+reference's offline prep tools, and BASELINE.json requires API-compatible
+entry semantics. Each standardizer below is therefore necessarily a
+near-mechanical restatement of the corresponding schema walk; there is no
+independent design freedom beyond the shared `_make_entry` factoring.
 """
 from __future__ import annotations
 

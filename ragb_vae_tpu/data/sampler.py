@@ -41,60 +41,62 @@ class BucketBatchSampler:
             return random.Random()
         return random.Random((self.seed, self._epoch).__hash__())
 
+    def _chunk_bucket(self, indices: List[int], rng: random.Random) -> List[List[int]]:
+        """Shuffle one bucket's indices and slice them into batch lists.
+
+        Each returned batch is bucket-pure by construction; a trailing
+        short batch is kept unless ``drop_last``.
+        """
+        order = list(indices)
+        if self.shuffle:
+            rng.shuffle(order)
+        n_full, rem = divmod(len(order), self.batch_size)
+        chunks = [
+            order[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_full)
+        ]
+        if rem and not self.drop_last:
+            chunks.append(order[n_full * self.batch_size :])
+        return chunks
+
     def __iter__(self) -> Iterator[List[int]]:
         rng = self._rng()
+        # Pre-chunk every bucket up front; both modes then only decide the
+        # order in which the per-bucket batch queues are consumed.
+        queues: Dict[str, List[List[int]]] = {
+            key: self._chunk_bucket(idxs, rng)
+            for key, idxs in self.bucket_to_indices.items()
+        }
+
         if not self.interleave:
-            bucket_keys = list(self.bucket_to_indices.keys())
+            order = list(queues)
             if self.shuffle:
-                rng.shuffle(bucket_keys)
-            for bucket in bucket_keys:
-                indices = list(self.bucket_to_indices[bucket])
-                if self.shuffle:
-                    rng.shuffle(indices)
-                total = len(indices)
-                step = self.batch_size
-                max_len = total - (total % step) if self.drop_last else total
-                for start in range(0, max_len, step):
-                    batch = indices[start : start + step]
-                    if len(batch) < self.batch_size and self.drop_last:
-                        continue
-                    yield batch
+                rng.shuffle(order)
+            for key in order:
+                yield from queues[key]
             return
 
-        # Interleaved: draw buckets proportional to their remaining size.
-        remaining = {k: list(v) for k, v in self.bucket_to_indices.items()}
-        if self.shuffle:
-            for v in remaining.values():
-                rng.shuffle(v)
-        active = [k for k, v in remaining.items() if v]
-        while active:
-            if self.shuffle and len(active) > 1:
-                weights = [len(remaining[k]) for k in active]
-                bucket = rng.choices(active, weights=weights, k=1)[0]
+        # Interleaved: at each step pick the bucket whose next batch to
+        # emit, weighted by how many samples it still holds (so big buckets
+        # appear proportionally often, matching the reference semantics).
+        counts = {k: sum(len(b) for b in q) for k, q in queues.items()}
+        cursor = {k: 0 for k in queues}
+        live = [k for k, q in queues.items() if q]
+        while live:
+            if self.shuffle and len(live) > 1:
+                key = rng.choices(live, weights=[counts[k] for k in live])[0]
             else:
-                bucket = active[0]
-
-            indices = remaining[bucket]
-            if len(indices) < self.batch_size:
-                if self.drop_last:
-                    active.remove(bucket)
-                    continue
-                batch = indices[:]
-                remaining[bucket] = []
-            else:
-                batch = indices[: self.batch_size]
-                remaining[bucket] = indices[self.batch_size :]
-
-            if not remaining[bucket]:
-                active.remove(bucket)
-            if batch:
-                yield batch
+                key = live[0]
+            batch = queues[key][cursor[key]]
+            cursor[key] += 1
+            counts[key] -= len(batch)
+            if cursor[key] == len(queues[key]):
+                live.remove(key)
+            yield batch
 
     def __len__(self) -> int:
-        total = 0
-        for indices in self.bucket_to_indices.values():
-            if self.drop_last:
-                total += math.floor(len(indices) / self.batch_size)
-            else:
-                total += math.ceil(len(indices) / self.batch_size)
-        return total
+        div = math.floor if self.drop_last else math.ceil
+        return sum(
+            div(len(indices) / self.batch_size)
+            for indices in self.bucket_to_indices.values()
+        )
