@@ -359,8 +359,10 @@ class FluxTextAlphaModel:
         gt: Array,
         text_alpha: Array,
         key: jax.Array,
+        weights: Optional[Array] = None,
     ) -> Tuple[Array, Dict[str, Array]]:
-        """gt/text_alpha: (B, H, W, 4) RGBA in [0, 1]."""
+        """gt/text_alpha: (B, H, W, 4) RGBA in [0, 1]. `weights` (B,) makes
+        the loss a weighted batch mean (zero-weight = mesh-padding sample)."""
         k_cond, k_tgt, k_noise, k_t = jax.random.split(key, 4)
         cond_latent = jax.lax.stop_gradient(self.encode_latents(vae_params, gt, k_cond))
         target_latent = jax.lax.stop_gradient(
@@ -370,7 +372,9 @@ class FluxTextAlphaModel:
         u = compute_density_for_timestep_sampling(
             k_t, target_latent.shape[0], weighting_scheme="logit_normal"
         )
-        return self.compute_loss_from_latents(params, cond_latent, target_latent, noise, u)
+        return self.compute_loss_from_latents(
+            params, cond_latent, target_latent, noise, u, weights=weights
+        )
 
     def compute_loss_from_latents(
         self,
@@ -379,6 +383,7 @@ class FluxTextAlphaModel:
         target_latent: Array,
         noise: Array,
         u: Array,
+        weights: Optional[Array] = None,
     ) -> Tuple[Array, Dict[str, Array]]:
         """Deterministic core of the flow-matching loss (noise and the
         logit-normal draws injected — the bit-faithful comparison point
@@ -411,7 +416,11 @@ class FluxTextAlphaModel:
         per_sample = jnp.mean(
             (weighting * (pred_target - loss_target) ** 2).reshape(bsz, -1), axis=1
         )
-        loss = jnp.mean(per_sample)
+        if weights is None:
+            loss = jnp.mean(per_sample)
+        else:
+            w = weights.astype(jnp.float32)
+            loss = jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1e-8)
         stats = {
             "timesteps_mean": jnp.mean(timesteps),
             "sigmas_mean": jnp.mean(sigmas),

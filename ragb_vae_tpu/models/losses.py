@@ -22,14 +22,22 @@ DEFAULT_EB: Tuple[float, float, float] = (-0.0357, -0.0811, -0.1797)
 DEFAULT_EB2: Tuple[float, float, float] = (0.3163, 0.3060, 0.3634)
 
 
-def reduce_loss(value: Array, *, reduce_mean: bool) -> Array:
+def reduce_loss(value: Array, *, reduce_mean: bool, weights: Optional[Array] = None) -> Array:
     """Reference `_reduce` (losses.py:117-123): plain mean, or per-sample sum
-    over non-batch axes followed by batch mean."""
+    over non-batch axes followed by batch mean.
+
+    `weights` (B,) turns the batch mean into a weighted mean — used to make
+    the loss exactly invariant to batch padding (zero-weight pad samples).
+    With all-ones weights this is identical to the unweighted path.
+    """
     if value.ndim == 0:
         return value
-    if reduce_mean:
-        return jnp.mean(value)
-    return jnp.mean(jnp.sum(value.reshape(value.shape[0], -1), axis=1))
+    flat = value.reshape(value.shape[0], -1)
+    per_sample = jnp.mean(flat, axis=1) if reduce_mean else jnp.sum(flat, axis=1)
+    if weights is None:
+        return jnp.mean(per_sample)
+    w = weights.astype(jnp.float32)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1e-8)
 
 
 def alphavae_reconstruction_loss(
@@ -40,6 +48,7 @@ def alphavae_reconstruction_loss(
     eb2: Sequence[float] = DEFAULT_EB2,
     reduce_mean: bool = False,
     use_naive_mse: bool = False,
+    weights: Optional[Array] = None,
 ) -> Array:
     """AlphaVAE Eq.(9) premultiplied reconstruction loss.
 
@@ -51,7 +60,7 @@ def alphavae_reconstruction_loss(
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
     if use_naive_mse:
-        return reduce_loss((pred - target) ** 2, reduce_mean=reduce_mean)
+        return reduce_loss((pred - target) ** 2, reduce_mean=reduce_mean, weights=weights)
 
     target_rgb = target[..., :3]
     pred_rgb = pred[..., :3]
@@ -64,7 +73,7 @@ def alphavae_reconstruction_loss(
     eb_arr = jnp.asarray(eb, dtype=jnp.float32)
     eb2_arr = jnp.asarray(eb2, dtype=jnp.float32)
     loss = rgba_diff**2 - 2.0 * eb_arr * rgba_diff * alpha_diff + eb2_arr * alpha_diff**2
-    return reduce_loss(loss, reduce_mean=reduce_mean)
+    return reduce_loss(loss, reduce_mean=reduce_mean, weights=weights)
 
 
 def kl_loss(
@@ -72,13 +81,14 @@ def kl_loss(
     reference: Optional[DiagonalGaussian] = None,
     *,
     reduce_mean: bool = False,
+    weights: Optional[Array] = None,
 ) -> Array:
     """KL (optionally against a frozen reference posterior), reference-reduced.
 
     posterior.kl() is already per-sample (B,), so both reduction modes
     collapse to a batch mean — kept explicit for parity with losses.py:109-115.
     """
-    return reduce_loss(posterior.kl(reference), reduce_mean=reduce_mean)
+    return reduce_loss(posterior.kl(reference), reduce_mean=reduce_mean, weights=weights)
 
 
 def perceptual_composites(pred: Array, target: Array) -> Tuple[Array, Array, Array, Array]:
@@ -113,7 +123,9 @@ class AlphaVaeLossConfig:
         if len(self.eb) != 3 or len(self.eb2) != 3:
             raise ValueError("eb/eb2 must each provide three channel weights.")
 
-    def reconstruction_loss(self, pred: Array, target: Array) -> Array:
+    def reconstruction_loss(
+        self, pred: Array, target: Array, weights: Optional[Array] = None
+    ) -> Array:
         return alphavae_reconstruction_loss(
             pred,
             target,
@@ -121,7 +133,13 @@ class AlphaVaeLossConfig:
             eb2=self.eb2,
             reduce_mean=self.reduce_mean,
             use_naive_mse=self.use_naive_mse,
+            weights=weights,
         )
 
-    def kl_loss(self, posterior: DiagonalGaussian, reference: Optional[DiagonalGaussian] = None) -> Array:
-        return kl_loss(posterior, reference, reduce_mean=self.reduce_mean)
+    def kl_loss(
+        self,
+        posterior: DiagonalGaussian,
+        reference: Optional[DiagonalGaussian] = None,
+        weights: Optional[Array] = None,
+    ) -> Array:
+        return kl_loss(posterior, reference, reduce_mean=self.reduce_mean, weights=weights)

@@ -157,10 +157,14 @@ def maybe_build_lpips(
         return None
     params = load_lpips_params(path)
 
-    def perceptual_loss(pred: Array, target: Array) -> Array:
+    def perceptual_loss(pred: Array, target: Array, weights: Optional[Array] = None) -> Array:
         pred_black, target_black, pred_white, target_white = perceptual_composites(pred, target)
         loss_black = lpips_distance(target_black, pred_black, params)
         loss_white = lpips_distance(target_white, pred_white, params)
-        return 0.5 * (loss_black.mean() + loss_white.mean())
+        per_sample = 0.5 * (loss_black + loss_white)
+        if weights is None:
+            return per_sample.mean()
+        w = weights.astype(jnp.float32)
+        return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1e-8)
 
     return perceptual_loss

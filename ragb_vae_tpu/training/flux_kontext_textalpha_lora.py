@@ -40,7 +40,11 @@ from ragb_vae_tpu.parallel import (
     replicated,
     zero_sharding,
 )
-from ragb_vae_tpu.training.rgba_vae_stage import pad_to_multiple, _to_uint8
+from ragb_vae_tpu.training.rgba_vae_stage import (
+    pad_to_multiple,
+    padding_weights,
+    _to_uint8,
+)
 
 Array = jnp.ndarray
 
@@ -94,6 +98,12 @@ def parse_args(args: Optional[List[str]] = None, *, allow_missing: bool = False)
     parser.add_argument("--drop_last", action="store_true")
     parser.add_argument("--interleave_buckets", action="store_true")
     parser.add_argument("--max_grad_norm", type=float, default=1.0)
+    parser.add_argument(
+        "--resume_from", type=str, default=None,
+        help="LoRA checkpoint dir to resume from (adapters + optimizer state "
+             "+ step + RNG), or 'auto' to pick the newest checkpoint-* under "
+             "ckpt_dir. Beyond-parity: the reference LoRA stage is save-only.",
+    )
     parser.add_argument(
         "--shard_base_params", action="store_true",
         help="FSDP-style sharding of the frozen transformer base over the data "
@@ -188,7 +198,8 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
     def loss_fn(lora, batch, key):
         params = merge_params(base_params, lora)
         loss, stats = model.compute_loss(
-            params, vae_params, batch["gt"], batch["text_alpha"], key
+            params, vae_params, batch["gt"], batch["text_alpha"], key,
+            weights=batch.get("weights"),
         )
         return loss, stats
 
@@ -248,6 +259,8 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
                 saved += 1
         print(f"[val-{step_label}] saved {saved} GT|pred pairs to {out_dir}")
 
+    from flax import serialization
+
     def save_lora(step: int, subdir: str) -> None:
         save_dir = Path(args.ckpt_dir) / subdir
         model.save_lora_weights(merge_params(base_params, lora_params), save_dir)
@@ -259,6 +272,11 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
             dtype=str(np.dtype(dtype).name) if dtype != jnp.bfloat16 else "bfloat16",
             step=step,
         )
+        # Beyond-parity resume state (reference LoRA stage is save-only,
+        # flux_kontext_textalpha_lora.py:315-323): optimizer state + RNG key
+        # alongside the peft-format adapters.
+        resume_state = {"opt_state": jax.device_get(opt_state), "key": jax.device_get(key)}
+        (save_dir / "train_state.msgpack").write_bytes(serialization.to_bytes(resume_state))
         print(f"[ckpt] saved LoRA weights to {save_dir}")
 
     from ragb_vae_tpu.utils.metrics_logger import MetricsLogger
@@ -266,17 +284,50 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
     metrics_logger = MetricsLogger(args.ckpt_dir)
 
     key = jax.random.PRNGKey(args.seed)
+    total_steps = 0
+
+    resume_dir = getattr(args, "resume_from", None)
+    if resume_dir == "auto":
+        root = Path(args.ckpt_dir)
+        candidates = sorted(
+            (p for p in root.glob("checkpoint-*") if p.is_dir()),
+            key=lambda p: int(p.name.rsplit("-", 1)[1]),
+        ) if root.exists() else []
+        resume_dir = candidates[-1] if candidates else None
+        if resume_dir is None:
+            print("[resume] resume_from: auto — no checkpoint found, starting fresh")
+    if resume_dir:
+        from ragb_vae_tpu.models.flux_kontext_textalpha import read_lora_metadata
+        from ragb_vae_tpu.models.flux_weights import peft_state_to_lora_params
+        from ragb_vae_tpu.models.weights import load_torch_state
+
+        resume_dir = Path(resume_dir)
+        lora_host = peft_state_to_lora_params(
+            load_torch_state(resume_dir / "pytorch_lora_weights.safetensors")
+        )
+        lora_params = jax.device_put(lora_host, rep)
+        state_file = resume_dir / "train_state.msgpack"
+        if state_file.exists():
+            template = {"opt_state": jax.device_get(opt_state), "key": jax.device_get(key)}
+            restored = serialization.from_bytes(template, state_file.read_bytes())
+            opt_state = jax.device_put(restored["opt_state"], opt_shardings)
+            key = jnp.asarray(restored["key"])
+        meta = read_lora_metadata(resume_dir) or {}
+        total_steps = int(meta.get("step", 0))
+        print(f"[resume] resumed LoRA training from {resume_dir} at step {total_steps}")
+
     if args.run_validation_on_start:
         key, sub = jax.random.split(key)
         run_validation("start", sub)
 
-    total_steps = 0
     last_loss = float("nan")
+    loss = None
     t0 = time.time()
     epoch = 0
     while total_steps < args.max_train_steps:
         train_dl.set_epoch(epoch)
         for batch in train_dl:
+            n_real = np.asarray(batch["gt"]).shape[0]
             gt = pad_to_multiple(np.asarray(batch["gt"], np.float32), n_devices * n_micro)
             ta = pad_to_multiple(
                 np.asarray(batch["text_alpha"], np.float32), n_devices * n_micro
@@ -284,6 +335,7 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
             device_batch = {
                 "gt": jax.device_put(gt, bsh),
                 "text_alpha": jax.device_put(ta, bsh),
+                "weights": jax.device_put(padding_weights(n_real, gt.shape[0]), bsh),
             }
             key, sub = jax.random.split(key)
             lora_params, opt_state, loss, _ = train_step(
@@ -314,7 +366,7 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
 
     save_lora(args.max_train_steps, "final")
     print("Done.")
-    if not np.isfinite(last_loss):
+    if not np.isfinite(last_loss) and loss is not None:
         last_loss = float(np.asarray(loss))
     return {"train/loss": last_loss, "global_step": float(total_steps)}
 
@@ -373,6 +425,7 @@ def build_args_from_cfg(cfg: Dict[str, Any]) -> argparse.Namespace:
         ("rank", "rank", int),
         ("lora_alpha", "lora_alpha", int),
         ("max_grad_norm", "max_grad_norm", float),
+        ("resume_from", "resume_from", str),
         ("shard_base_params", "shard_base_params", bool),
         ("seed", "seed", int),
     ):

@@ -220,8 +220,9 @@ def pad_to_multiple(arr: np.ndarray, multiple: int) -> np.ndarray:
     """Cycle-pad the batch dim so it divides the mesh's data axis.
 
     The reference never pads (NCCL DP tolerates ragged per-rank batches);
-    GSPMD batch sharding needs divisibility. Wrapped duplicates slightly
-    overweight early samples in the loss mean — bounded by (m-1)/N.
+    GSPMD batch sharding needs divisibility. Consumers neutralize the pad:
+    the train step masks it out of the loss via `padding_weights`, and the
+    eval loop slices metrics back to the real count.
     """
     n = arr.shape[0]
     if multiple <= 1 or n % multiple == 0:
@@ -230,6 +231,14 @@ def pad_to_multiple(arr: np.ndarray, multiple: int) -> np.ndarray:
     reps = -(-pad // n)
     extra = np.concatenate([arr] * reps, axis=0)[:pad]
     return np.concatenate([arr, extra], axis=0)
+
+
+def padding_weights(n_real: int, n_total: int) -> np.ndarray:
+    """(n_total,) loss weights: 1 for real samples, 0 for pad samples —
+    makes the step loss exactly invariant to `pad_to_multiple`."""
+    weights = np.zeros(n_total, dtype=np.float32)
+    weights[:n_real] = 1.0
+    return weights
 
 
 # ---------------------------------------------------------------------------
@@ -636,17 +645,21 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
                     rng=host_rng,
                 )
                 micro = step_cfg.gradient_accumulation_steps
+                n_real = inputs.shape[0]
                 inputs = pad_to_multiple(
                     np.asarray(inputs, dtype=np.float32), n_devices * micro
                 )
                 images = jax.device_put(inputs, input_sharding)
+                weights = jax.device_put(
+                    padding_weights(n_real, inputs.shape[0]), input_sharding
+                )
                 key, sub = jax.random.split(key)
                 with annotate("rgba_vae_train_step", step=global_step):
                     params, opt_state, metrics = train_step(
-                        params, opt_state, {"images": images}, sub
+                        params, opt_state, {"images": images, "weights": weights}, sub
                     )
                 global_step += 1
-                images_seen += inputs.shape[0]
+                images_seen += n_real
                 pending.append(metrics)
 
                 if nan_check_every > 0 and global_step % nan_check_every == 0:

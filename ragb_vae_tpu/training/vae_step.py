@@ -94,9 +94,14 @@ def vae_loss_fn(
     """Loss assembly with reference semantics (rgba_vae_stage.py:448-516).
 
     `batch["images"]`: (B, H, W, 4) RGBA in [0, 1].
+    `batch["weights"]` (optional): (B,) per-sample loss weights — zeros mark
+    padding samples added for mesh divisibility, making the loss exactly
+    invariant to padding (the reference never pads; NCCL DP tolerates
+    ragged per-rank batches).
     """
     compute_dtype = step_cfg.compute_dtype
     target = jnp.clip(batch["images"], 0.0, 1.0)
+    weights = batch.get("weights")
     target_vae = to_vae_range(target).astype(compute_dtype)
     triplet = detail_augmented_triplet(target_vae)
 
@@ -105,17 +110,17 @@ def vae_loss_fn(
     z = posterior.sample(key, dtype=compute_dtype)
     pred = model.decode(params, z)
 
-    recon_loss = loss_cfg.reconstruction_loss(pred, target_vae)
+    recon_loss = loss_cfg.reconstruction_loss(pred, target_vae, weights)
     total = recon_loss
     metrics: Dict[str, Array] = {"train/recon": recon_loss}
 
     if step_cfg.lpips_scale > 0.0 and lpips_fn is not None:
-        lpips_loss = lpips_fn(pred, target_vae)
+        lpips_loss = lpips_fn(pred, target_vae, weights)
         total = total + step_cfg.lpips_scale * lpips_loss
         metrics["train/lpips"] = lpips_loss
 
     if step_cfg.kl_scale > 0.0:
-        kl = loss_cfg.kl_loss(posterior)
+        kl = loss_cfg.kl_loss(posterior, weights=weights)
         total = total + step_cfg.kl_scale * kl
         metrics["train/kl"] = kl
 
@@ -125,8 +130,8 @@ def vae_loss_fn(
         )
         _, ref_black, ref_white = split_batch(ref_posterior_all, 3)
         ref_kl = 0.5 * (
-            loss_cfg.kl_loss(posterior_black, ref_black)
-            + loss_cfg.kl_loss(posterior_white, ref_white)
+            loss_cfg.kl_loss(posterior_black, ref_black, weights=weights)
+            + loss_cfg.kl_loss(posterior_white, ref_white, weights=weights)
         )
         total = total + step_cfg.ref_kl_scale * ref_kl
         metrics["train/ref_kl"] = ref_kl

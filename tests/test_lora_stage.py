@@ -186,6 +186,43 @@ def test_inference_cli(pretrained_dir, tmp_path):
     assert arr.shape == (64, 64, 4)
 
 
+def test_lora_resume_continues_run(pretrained_dir, data_root, tmp_path):
+    """Kill/restart: a 2-step run then resume-for-2-more matches one 4-step
+    run's step counter, and adapter+optimizer state round-trip the restart."""
+    # uninterrupted 4-step run
+    cfg_full = _cfg(pretrained_dir, data_root, tmp_path / "full", max_train_steps=4)
+    m_full = train_from_config(cfg_full)
+    assert m_full["global_step"] == 4.0
+
+    # interrupted: 2 steps, checkpoint, then resume to 4
+    cfg_a = _cfg(pretrained_dir, data_root, tmp_path / "split", max_train_steps=2,
+                 save_every=2)
+    train_from_config(cfg_a)
+    ckpt = tmp_path / "split" / "ckpts" / "checkpoint-2"
+    assert (ckpt / "pytorch_lora_weights.safetensors").exists()
+    assert (ckpt / "train_state.msgpack").exists()
+
+    cfg_b = _cfg(pretrained_dir, data_root, tmp_path / "split", max_train_steps=4,
+                 resume_from="auto", save_every=2)
+    m_b = train_from_config(cfg_b)
+    assert m_b["global_step"] == 4.0
+    assert np.isfinite(m_b["train/loss"])
+
+    # resumed run produced the later checkpoint too
+    assert (tmp_path / "split" / "ckpts" / "checkpoint-4" / "train_state.msgpack").exists()
+
+    # optimizer state actually restored: the resumed final adapters differ
+    # from the step-2 adapters (training continued, not restarted at step 0)
+    from ragb_vae_tpu.models.weights import load_torch_state
+
+    w2 = load_torch_state(ckpt / "pytorch_lora_weights.safetensors")
+    w4 = load_torch_state(
+        tmp_path / "split" / "ckpts" / "final" / "pytorch_lora_weights.safetensors"
+    )
+    diffs = [np.abs(np.asarray(w4[k]) - np.asarray(w2[k])).max() for k in w2]
+    assert max(diffs) > 0.0
+
+
 def test_lora_train_with_fsdp_base(pretrained_dir, data_root, tmp_path):
     """FSDP-sharded frozen base (GSPMD all-gathers) trains identically."""
     cfg = _cfg(pretrained_dir, data_root, tmp_path / "rep", max_train_steps=1)
