@@ -88,11 +88,12 @@ def psnr_delta_mode(size: int) -> None:
     )
 
 
-def train_step_mode(size: int, batch: int, iters: int) -> None:
+def train_step_mode(size: int, batch: int, iters: int, *, lpips: bool = True) -> None:
     """Training-step throughput: the full jitted RGBA-VAE step (triplet
-    encode -> posterior split/sample -> decode -> AlphaVAE loss + KL ->
-    clip -> AdamW) at a bucket resolution — the reference's actual
-    workload (operating point: batch 4/device, bf16)."""
+    encode -> posterior split/sample -> decode -> AlphaVAE loss + LPIPS
+    + KL -> clip -> AdamW) at a bucket resolution — the reference's actual
+    workload (operating point: batch 4/device, bf16, lpips_scale 0.5,
+    configs/flux_vae.yaml)."""
     import jax
     import jax.numpy as jnp
 
@@ -105,6 +106,21 @@ def train_step_mode(size: int, batch: int, iters: int) -> None:
         make_train_step,
     )
 
+    lpips_fn = None
+    if lpips:
+        # Random VGG weights — identical compute cost to the trained ones;
+        # golden-value parity is pinned separately (tests/test_lpips.py).
+        import tempfile
+        from pathlib import Path as _Path
+
+        from ragb_vae_tpu.models.lpips import load_lpips_params, maybe_build_lpips
+        from ragb_vae_tpu.models.weights import save_torch_state
+        from tests.torch_lpips_ref import make_lpips_state
+
+        tmp = _Path(tempfile.mkdtemp()) / "lpips_vgg.safetensors"
+        save_torch_state(make_lpips_state(seed=0), tmp)
+        lpips_fn = maybe_build_lpips(tmp)
+
     config = AutoencoderConfig.flux()
     config.in_channels = 4
     config.out_channels = 4
@@ -112,10 +128,16 @@ def train_step_mode(size: int, batch: int, iters: int) -> None:
     model.enable_slicing()
     params = model.init_params(jax.random.PRNGKey(0), image_size=64)
     tx = make_optimizer(1e-5, max_grad_norm=1.0)
-    step_cfg = VaeStepConfig(kl_scale=1e-6, compute_dtype=jnp.bfloat16)
+    step_cfg = VaeStepConfig(
+        kl_scale=1e-6,
+        lpips_scale=0.5 if lpips_fn is not None else 0.0,
+        compute_dtype=jnp.bfloat16,
+    )
     loss_cfg = AlphaVaeLossConfig(reduce_mean=True)
     opt_state = tx.init(params)
-    train_step = make_train_step(model, tx, loss_cfg, step_cfg, donate=False)
+    train_step = make_train_step(
+        model, tx, loss_cfg, step_cfg, lpips_fn=lpips_fn, donate=False
+    )
 
     x = jnp.asarray(
         np.random.default_rng(0).random((batch, size, size, 4)).astype(np.float32)
@@ -132,11 +154,12 @@ def train_step_mode(size: int, batch: int, iters: int) -> None:
         run(i)
     dt = time.perf_counter() - t0
     rate = batch * iters / dt
-    log(f"[bench] train step {size}px batch {batch}: {dt/iters:.3f}s/step -> {rate:.3f} img/s")
+    tag = "lpips" if lpips_fn is not None else "nolpips"
+    log(f"[bench] train step {size}px batch {batch} ({tag}): {dt/iters:.3f}s/step -> {rate:.3f} img/s")
     print(
         json.dumps(
             {
-                "metric": f"rgba_vae_train_step_{size}px_bf16",
+                "metric": f"rgba_vae_train_step_{size}px_bf16_{tag}",
                 "value": round(rate, 3),
                 "unit": "img/s/chip",
                 "vs_baseline": round(rate / 1.0, 3),  # no published baseline
@@ -156,13 +179,17 @@ def main() -> None:
         choices=["throughput", "psnr_delta", "train_step"],
         default="throughput",
     )
+    parser.add_argument("--no-lpips", action="store_true",
+                        help="train_step mode: drop the LPIPS term")
     args = parser.parse_args()
 
     if args.metric == "psnr_delta":
         psnr_delta_mode(min(args.size, 256))
         return
     if args.metric == "train_step":
-        train_step_mode(min(args.size, 512), args.batches[0], args.iters)
+        train_step_mode(
+            min(args.size, 512), args.batches[0], args.iters, lpips=not args.no_lpips
+        )
         return
 
     import jax
