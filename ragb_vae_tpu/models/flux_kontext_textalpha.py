@@ -206,14 +206,27 @@ class FluxTextAlphaModel:
     lora_alpha: float = 0.0
     dtype: Any = jnp.float32
     remat: bool = True
+    # Training mesh for multichip runs: the Pallas flash-attention kernel
+    # cannot be auto-partitioned by GSPMD, so with a mesh the attention is
+    # shard_mapped over the batch axis (ops/pallas/flash_attention.py).
+    attention_mesh: Any = None
 
     def __post_init__(self):
+        attention_fn = None
+        if self.attention_mesh is not None:
+            import functools
+
+            from ragb_vae_tpu.ops.pallas import attention as _attention
+
+            attention_fn = functools.partial(_attention, mesh=self.attention_mesh)
+        kwargs = {} if attention_fn is None else {"attention_fn": attention_fn}
         self.transformer = FluxTransformer2D(
             self.transformer_config,
             dtype=self.dtype,
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
             remat=self.remat,
+            **kwargs,
         )
         self.vae_scale_factor = self.vae.config.spatial_scale_factor
         self.scaling_factor = float(self.vae.config.scaling_factor)
@@ -242,6 +255,7 @@ class FluxTextAlphaModel:
         lora_rank: int = 0,
         lora_alpha: float = 0.0,
         use_gradient_checkpointing: bool = True,
+        attention_mesh: Any = None,
     ) -> Tuple["FluxTextAlphaModel", PyTree, PyTree]:
         """Returns (model, transformer_params, vae_params)."""
         t_config, t_params = load_transformer(model_path)
@@ -259,6 +273,7 @@ class FluxTextAlphaModel:
             lora_alpha=lora_alpha,
             dtype=dtype,
             remat=use_gradient_checkpointing,
+            attention_mesh=attention_mesh,
         )
         if lora_rank > 0:
             t_params = model.init_lora(t_params, jax.random.PRNGKey(0))

@@ -199,23 +199,56 @@ def attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     force_xla: Optional[bool] = None,
+    mesh=None,
+    batch_axis: str = "data",
 ) -> Array:
     """(B, H, S, D) attention; flash kernel on TPU, chunked XLA elsewhere.
 
     Drop-in for `flux_transformer.default_attention` /
     `vae._chunked_attention` call sites.
+
+    Under GSPMD with a batch-sharded B, Mosaic kernels cannot be
+    auto-partitioned — pass `mesh` (the training mesh) and the flash call
+    is wrapped in a `shard_map` over `batch_axis`. Attention is
+    embarrassingly parallel over B, so the per-shard kernel is exact.
     """
     b, h, s, d = q.shape
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
-    q3 = q.reshape(b * h, s, d)
-    k3 = k.reshape(b * h, k.shape[2], d)
-    v3 = v.reshape(b * h, v.shape[2], d)
     use_xla = force_xla if force_xla is not None else not _on_tpu()
     if use_xla:
-        out = chunked_attention_3d(q3, k3, v3, sm_scale=sm_scale)
-    else:
-        # shrink blocks for short sequences (still >= the bf16 sublane tile)
-        bq = min(block_q, max(128, 1 << math.ceil(math.log2(max(s, 1)))))
-        out = _flash_attention_3d(q3, k3, v3, sm_scale, bq, min(block_k, bq))
-    return out.reshape(b, h, s, d)
+        q3 = q.reshape(b * h, s, d)
+        k3 = k.reshape(b * h, k.shape[2], d)
+        v3 = v.reshape(b * h, v.shape[2], d)
+        return chunked_attention_3d(q3, k3, v3, sm_scale=sm_scale).reshape(b, h, s, d)
+
+    # shrink blocks for short sequences (still >= the bf16 sublane tile)
+    bq = min(block_q, max(128, 1 << math.ceil(math.log2(max(s, 1)))))
+    bk = min(block_k, bq)
+
+    def flash_4d(q4, k4, v4):
+        bb, hh = q4.shape[0], q4.shape[1]
+        out = _flash_attention_3d(
+            q4.reshape(bb * hh, q4.shape[2], d),
+            k4.reshape(bb * hh, k4.shape[2], d),
+            v4.reshape(bb * hh, v4.shape[2], d),
+            sm_scale,
+            bq,
+            bk,
+        )
+        return out.reshape(q4.shape)
+
+    n_shards = mesh.shape.get(batch_axis, 1) if mesh is not None else 1
+    if n_shards > 1 and b % n_shards == 0:
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(batch_axis, None, None, None)
+        shard_fn = jax.shard_map(
+            flash_4d,
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            check_vma=False,  # pallas_call out_shape carries no vma info
+        )
+        return shard_fn(q, k, v)
+    return flash_4d(q, k, v)

@@ -137,11 +137,22 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
         dtype=dtype,
         lora_rank=args.rank,
         lora_alpha=float(args.lora_alpha),
+        attention_mesh=mesh if n_devices > 1 else None,
     )
     # mesh-aware per-device slicing for the cond/target VAE encodes
     # (v5e conv fast path, benchmarks/results.md)
     model.vae.enable_slicing(mesh=mesh)
     base_params, lora_params = split_lora_params(t_params)
+    if dtype == jnp.bfloat16:
+        # The base is FROZEN: storing it at compute precision halves HBM
+        # and FSDP all-gather traffic with no training-precision impact
+        # (the reference likewise loads the transformer in bf16 under
+        # accelerate mixed_precision bf16). LoRA params stay fp32.
+        # host-side cast (numpy + ml_dtypes), so the fp32 copy never
+        # touches HBM — device_put below places the bf16 shards directly.
+        base_params = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).astype(jnp.bfloat16), base_params
+        )
     rep = replicated(mesh)
     if getattr(args, "shard_base_params", False):
         # FSDP-style: frozen base sharded over the data axis; GSPMD inserts
