@@ -135,8 +135,11 @@ def train_step_mode(size: int, batch: int, iters: int, *, lpips: bool = True) ->
     )
     loss_cfg = AlphaVaeLossConfig(reduce_mean=True)
     opt_state = tx.init(params)
+    # donate params/opt_state (threaded through like the real loop) — on a
+    # 16 GB chip the in-place update buys back a full fp32 params+moments
+    # copy (~1 GB at Flux-VAE scale)
     train_step = make_train_step(
-        model, tx, loss_cfg, step_cfg, lpips_fn=lpips_fn, donate=False
+        model, tx, loss_cfg, step_cfg, lpips_fn=lpips_fn, donate=True
     )
 
     x = jnp.asarray(
@@ -145,7 +148,10 @@ def train_step_mode(size: int, batch: int, iters: int, *, lpips: bool = True) ->
     key = jax.random.PRNGKey(1)
 
     def run(i):
-        p, o, metrics = train_step(params, opt_state, {"images": x}, jax.random.fold_in(key, i))
+        nonlocal params, opt_state
+        params, opt_state, metrics = train_step(
+            params, opt_state, {"images": x}, jax.random.fold_in(key, i)
+        )
         return float(metrics["train/loss"])
 
     run(1000)  # compile
@@ -173,7 +179,7 @@ def main() -> None:
     parser.add_argument("--size", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
-    parser.add_argument("--batches", type=int, nargs="*", default=[2, 1])
+    parser.add_argument("--batches", type=int, nargs="*", default=[4, 2, 1])
     parser.add_argument(
         "--metric",
         choices=["throughput", "psnr_delta", "train_step"],
@@ -181,6 +187,14 @@ def main() -> None:
     )
     parser.add_argument("--no-lpips", action="store_true",
                         help="train_step mode: drop the LPIPS term")
+    parser.add_argument(
+        "--fused",
+        action="store_true",
+        help="throughput mode: whole-resnet-block Pallas kernels instead of "
+        "per-sample-sliced XLA. The kernels beat XLA 2-3x in isolation "
+        "(benchmarks/results.md) but currently trail it e2e — keep the "
+        "sliced path as the headline until the gap is closed.",
+    )
     args = parser.parse_args()
 
     if args.metric == "psnr_delta":
@@ -204,10 +218,13 @@ def main() -> None:
     config = AutoencoderConfig.flux()
     config.in_channels = 4
     config.out_channels = 4
-    model = RgbaVAE(config=config, dtype=jnp.bfloat16)
-    # per-sample slicing (lax.map) is the fast path on v5e: XLA conv
-    # pipelining degrades ~2x for batch >= 2 at 1024^2 (benchmarks/results.md)
-    model.enable_slicing()
+    fused = args.fused
+    model = RgbaVAE(config=config, dtype=jnp.bfloat16, fused=fused)
+    if not fused:
+        # round-1 fast path: per-sample slicing (lax.map) works around the
+        # XLA batch>=2 block-composition regression (benchmarks/results.md).
+        # The fused kernels batch natively (grid axis), so they skip it.
+        model.enable_slicing()
     params = model.init_params(jax.random.PRNGKey(0), image_size=64)
     params = jax.device_put(params, device)
 

@@ -111,7 +111,12 @@ class DataLoader:
             yield indices[start : start + self.batch_size].tolist()
 
     def _fetch(self, batch_indices: List[int]) -> Dict[str, Any]:
-        if self._pool is not None and len(batch_indices) > 1:
+        if hasattr(self.dataset, "getitems"):
+            # dataset-level batch fetch (e.g. the native C++ batch PNG
+            # decode in MixedBucketDataset.getitems — its worker threads
+            # replace the Python-side pool for that path)
+            items = list(self.dataset.getitems(batch_indices))
+        elif self._pool is not None and len(batch_indices) > 1:
             items = list(self._pool.map(self.dataset.__getitem__, batch_indices))
         else:
             items = [self.dataset[i] for i in batch_indices]

@@ -64,7 +64,9 @@ def run(args: argparse.Namespace) -> None:
     )
     if args.lora_path:
         t_params = model.load_lora(t_params, args.lora_path)
-    # single-chip fast path: per-sample VAE slicing (benchmarks/results.md)
+    # single-chip fast path: per-sample VAE slicing (benchmarks/results.md;
+    # the fused whole-block kernels win in isolation but not yet e2e —
+    # model.vae.enable_fused() once they do)
     model.vae.enable_slicing()
 
     inp = load_rgba(args.input_image)[None]  # (1, H, W, 4) in [0, 1]

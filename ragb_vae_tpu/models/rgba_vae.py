@@ -58,6 +58,10 @@ class RgbaVAE:
     eb2: Tuple[float, float, float] = DEFAULT_EB2
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # fused=True: ResnetBlocks run as whole-block Pallas kernels with
+    # stats/residual epilogues (ops/pallas/resnet_block.py) — the batched
+    # single-chip fast path on TPU; param tree is unchanged.
+    fused: bool = False
     # diffusers enable_tiling/enable_slicing equivalents (reference
     # rgba_vae_stage.py:296-304). Tiling bounds activation memory for
     # buckets above tile_sample_size; slicing processes one sample at a
@@ -72,7 +76,9 @@ class RgbaVAE:
     def __post_init__(self):
         if len(self.eb) != 3 or len(self.eb2) != 3:
             raise ValueError("custom_eb and custom_eb2 must each provide three channel weights.")
-        self.module = AutoencoderKL(self.config, dtype=self.dtype, remat=self.remat)
+        self.module = AutoencoderKL(
+            self.config, dtype=self.dtype, remat=self.remat, fused=self.fused
+        )
 
     # diffusers-API-parity toggles
     def enable_tiling(self, tile_sample_size: Optional[int] = None) -> None:
@@ -94,6 +100,25 @@ class RgbaVAE:
     def disable_slicing(self) -> None:
         self.use_slicing = False
         self._slicing_mesh = None
+
+    def enable_fused(self) -> None:
+        """Whole-resnet-block Pallas kernels (ops/pallas/resnet_block.py) —
+        the batched single-chip fast path on TPU. The param tree is
+        unchanged, so this can be flipped on a constructed model (e.g.
+        after from_pretrained). Mutually exclusive with slicing: fused
+        kernels batch natively via their grid, and opaque kernels inside
+        the lax.map slicing scan pipeline poorly (benchmarks/results.md)."""
+        self.fused = True
+        self.use_slicing = False
+        self.module = AutoencoderKL(
+            self.config, dtype=self.dtype, remat=self.remat, fused=True
+        )
+
+    def disable_fused(self) -> None:
+        self.fused = False
+        self.module = AutoencoderKL(
+            self.config, dtype=self.dtype, remat=self.remat, fused=False
+        )
 
     def _sliced(self, fn, x: Array) -> Array:
         from ragb_vae_tpu.models.vae_tiling import sharded_sliced_apply, sliced_apply

@@ -121,15 +121,18 @@ class _GNParams(nn.Module):
 class ResnetBlock(nn.Module):
     """GroupNorm -> SiLU -> Conv3x3 (x2) with additive (1x1-projected) skip.
 
-    fused=True runs each GN+SiLU+Conv chain as ONE Pallas kernel
-    (ops/pallas/fused_gn_silu_conv.py). The kernel beats the equivalent
-    XLA chain in isolation (+10-14% on the hot 1024^2/512^2 shapes) but
-    LOSES end-to-end (3.27 vs 7.96 img/s at 1024^2): the separate GN
-    stats pass and the broken residual/next-stats epilogue fusions cost
-    several extra HBM passes per block that XLA's global fusion avoids.
-    Default False; winning requires a whole-resnet-block kernel
-    (stats + both convs + residual), queued in ROADMAP.md. The param tree
-    matches the unfused module exactly, so checkpoints interchange.
+    fused=True runs the WHOLE block as two Pallas kernel launches
+    (ops/pallas/resnet_block.py): each kernel fuses GN-apply + SiLU +
+    conv3x3 and, in its epilogue, the residual add and the per-channel
+    (sum, sumsq) statistics of its own output — so the next GroupNorm's
+    stats pass costs zero HBM traffic. `stats` accepts the previous
+    block's epilogue stats; the return is (out, stats) so consecutive
+    blocks chain (round-1's per-chain kernels lost end-to-end precisely
+    because stats/residual stayed as separate XLA passes,
+    benchmarks/results.md). The batch dimension is a grid axis — no
+    per-sample lax.map needed, which also avoids XLA's batch>=2 fusion
+    regression on composed blocks (benchmarks/block_cliff.py). The param
+    tree matches the unfused module exactly, so checkpoints interchange.
     """
 
     out_channels: int
@@ -138,37 +141,38 @@ class ResnetBlock(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, stats: Optional[Array] = None):
         in_channels = x.shape[-1]
         if self.fused:
-            from ragb_vae_tpu.ops.pallas.fused_gn_silu_conv import (
-                fused_gn_silu_conv3x3_batched,
-                group_norm_coeffs,
-            )
+            from ragb_vae_tpu.ops.pallas.resnet_block import fused_resnet_block
 
             s1, g1 = _GNParams(in_channels, name="norm1")()
             k1, cb1 = _Conv3x3Params(self.out_channels, in_channels, name="conv1")()
             s2, g2 = _GNParams(self.out_channels, name="norm2")()
             k2, cb2 = _Conv3x3Params(self.out_channels, self.out_channels, name="conv2")()
-
-            a1, b1 = group_norm_coeffs(x, s1, g1, self.num_groups)
-            h = fused_gn_silu_conv3x3_batched(
-                x.astype(self.dtype), a1, b1, k1.astype(self.dtype), cb1
+            p = {
+                "norm1": {"scale": s1, "bias": g1},
+                "conv1": {"kernel": k1, "bias": cb1},
+                "norm2": {"scale": s2, "bias": g2},
+                "conv2": {"kernel": k2, "bias": cb2},
+            }
+            if in_channels != self.out_channels:
+                ks, bs = _ConvParams(
+                    (1, 1), self.out_channels, in_channels, name="conv_shortcut"
+                )()
+                p["conv_shortcut"] = {"kernel": ks, "bias": bs}
+            return fused_resnet_block(
+                x.astype(self.dtype), p, num_groups=self.num_groups, stats=stats
             )
-            a2, b2 = group_norm_coeffs(h, s2, g2, self.num_groups)
-            h = fused_gn_silu_conv3x3_batched(
-                h, a2, b2, k2.astype(self.dtype), cb2
-            )
-        else:
-            h = _group_norm(self.num_groups, "norm1", self.dtype)(x)
-            h = nn.silu(h).astype(self.dtype)
-            h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-            h = _group_norm(self.num_groups, "norm2", self.dtype)(h)
-            h = nn.silu(h).astype(self.dtype)
-            h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = _group_norm(self.num_groups, "norm1", self.dtype)(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = _group_norm(self.num_groups, "norm2", self.dtype)(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
-        return x.astype(h.dtype) + h
+        return x.astype(h.dtype) + h, None
 
 
 class Downsample(nn.Module):
@@ -277,6 +281,25 @@ class _Conv3x3Params(nn.Module):
         return kernel, bias
 
 
+class _ConvParams(nn.Module):
+    """nn.Conv-compatible kernel/bias declaration for any window shape."""
+
+    window: Tuple[int, int]
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.window, self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 def _chunked_attention(q: Array, k: Array, v: Array, chunk: int = 4096) -> Array:
     """Exact single-head attention, scanned over query chunks.
 
@@ -337,13 +360,20 @@ class MidBlock(nn.Module):
     num_groups: int = 32
     add_attention: bool = True
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = ResnetBlock(self.channels, self.num_groups, self.dtype, name="resnets_0")(x)
+        x, stats = ResnetBlock(
+            self.channels, self.num_groups, self.dtype, self.fused, name="resnets_0"
+        )(x)
         if self.add_attention:
+            # attention rewrites x -> epilogue stats no longer describe it
             x = SpatialAttention(self.channels, self.num_groups, self.dtype, name="attention")(x)
-        x = ResnetBlock(self.channels, self.num_groups, self.dtype, name="resnets_1")(x)
+            stats = None
+        x, _ = ResnetBlock(
+            self.channels, self.num_groups, self.dtype, self.fused, name="resnets_1"
+        )(x, stats)
         return x
 
 
@@ -351,6 +381,7 @@ class Encoder(nn.Module):
     config: AutoencoderConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -361,8 +392,12 @@ class Encoder(nn.Module):
         )
         n_blocks = len(cfg.block_out_channels)
         for i, out_ch in enumerate(cfg.block_out_channels):
+            stats = None  # downsample/conv_in invalidate the chain
             for j in range(cfg.layers_per_block):
-                x = block(out_ch, cfg.norm_num_groups, self.dtype, name=f"down_blocks_{i}_resnets_{j}")(x)
+                x, stats = block(
+                    out_ch, cfg.norm_num_groups, self.dtype, self.fused,
+                    name=f"down_blocks_{i}_resnets_{j}",
+                )(x, stats)
             if i < n_blocks - 1:
                 x = Downsample(out_ch, self.dtype, name=f"down_blocks_{i}_downsample")(x)
         x = MidBlock(
@@ -370,6 +405,7 @@ class Encoder(nn.Module):
             cfg.norm_num_groups,
             cfg.mid_block_add_attention,
             self.dtype,
+            self.fused,
             name="mid_block",
         )(x)
         x = _group_norm(cfg.norm_num_groups, "conv_norm_out", self.dtype)(x)
@@ -382,6 +418,7 @@ class Decoder(nn.Module):
     config: AutoencoderConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, z: Array) -> Array:
@@ -396,12 +433,17 @@ class Decoder(nn.Module):
             cfg.norm_num_groups,
             cfg.mid_block_add_attention,
             self.dtype,
+            self.fused,
             name="mid_block",
         )(z)
         n_blocks = len(reversed_channels)
         for i, out_ch in enumerate(reversed_channels):
+            stats = None  # mid-block/upsample invalidate the chain
             for j in range(cfg.layers_per_block + 1):
-                z = block(out_ch, cfg.norm_num_groups, self.dtype, name=f"up_blocks_{i}_resnets_{j}")(z)
+                z, stats = block(
+                    out_ch, cfg.norm_num_groups, self.dtype, self.fused,
+                    name=f"up_blocks_{i}_resnets_{j}",
+                )(z, stats)
             if i < n_blocks - 1:
                 z = Upsample(out_ch, self.dtype, name=f"up_blocks_{i}_upsample")(z)
         z = _group_norm(cfg.norm_num_groups, "conv_norm_out", self.dtype)(z)
@@ -416,10 +458,11 @@ class AutoencoderKL(nn.Module):
     config: AutoencoderConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    fused: bool = False
 
     def setup(self):
-        self.encoder = Encoder(self.config, self.dtype, self.remat, name="encoder")
-        self.decoder = Decoder(self.config, self.dtype, self.remat, name="decoder")
+        self.encoder = Encoder(self.config, self.dtype, self.remat, self.fused, name="encoder")
+        self.decoder = Decoder(self.config, self.dtype, self.remat, self.fused, name="decoder")
         if self.config.use_quant_conv:
             self.quant_conv = nn.Conv(
                 2 * self.config.latent_channels, (1, 1), dtype=self.dtype, name="quant_conv"

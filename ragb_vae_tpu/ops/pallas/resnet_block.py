@@ -1,0 +1,460 @@
+"""Whole-resnet-block Pallas kernels: GN-apply + SiLU + conv3x3 with a
+fused stats / skip-add epilogue (NHWC, stride 1, batched grid).
+
+Round-1 finding (benchmarks/results.md): the per-chain fused
+GN+SiLU+conv kernel wins in isolation (+10-14%) but loses end-to-end
+because the SEPARATE GroupNorm-stats passes and the broken residual
+epilogue fusions each cost a full HBM pass per block. This module closes
+the block: a ResnetBlock (reference runs it inside diffusers,
+/root/reference/src/models/rgba_vae.py:277-279) becomes TWO kernel
+launches with nothing in between but (B, C)-sized coefficient math:
+
+  kernel 1: y1    = conv1(silu(gn1(x)))            + stats(y1) epilogue
+  kernel 2: out   = conv2(silu(gn2(y1))) + skip(x) + stats(out) epilogue
+
+The stats epilogue accumulates per-channel (sum, sum of squares) of the
+kernel's OWN output while it is still on-chip, so the next GroupNorm's
+statistics cost zero extra HBM traffic. Chained across the blocks of a
+level, per-block HBM traffic drops from ~9 passes (XLA's fused pipeline)
+to ~5. The batch dimension is a leading grid axis — no `lax.map`
+slicing, which also sidesteps XLA's batch>=2 block-composition
+regression (benchmarks/block_cliff.py: an XLA ResnetBlock is 1.5x slower
+per image at batch 2 than batch 1; individual ops are not).
+
+Kernel structure (per grid step = one row-slab of one sample):
+- ONE contiguous double-buffered DMA brings rows [h0-1, h0+tile_h+1) of
+  x into VMEM; the next step's slab is prefetched while this one
+  computes (benchmarks/batch_cliff.py measured a single XLA conv leaving
+  ~45% of the chip idle — pipelining is where the headroom is).
+- the activated slab A = silu(x*a + b) is computed ONCE (VPU), then
+  three column-shifted copies assemble an implicit-im2col patch buffer
+  P[r, w, v*C:(v+1)*C] = A[r, w+v-1] — 3 staging copies instead of the 9
+  strided window reads of the naive 9-tap formulation, and the three
+  row-spans P[u:u+tile_h] are contiguous views (no copy) feeding three
+  MXU GEMMs with contraction depth 3C (benchmarks/conv_formulations.py:
+  back-to-back K=C GEMMs reach 105-178 TF/s on v5e — the MXU is not the
+  bottleneck, staging is).
+- epilogue: + bias [+ skip], cast, store, and fp32 per-channel
+  (sum, sumsq) accumulation into a scratch that persists across the
+  row-slabs of a sample (grid revisits the same stats block).
+
+VMEM: v5e has ~128 MiB; the default 16 MiB scoped limit is raised via
+CompilerParams to fit larger tiles (tile_h auto-picked per shape).
+
+Numerics: GN statistics accumulate in fp32 from the bf16-cast output
+(matching the unfused path, which reads the bf16 tensor back); the conv
+accumulates in fp32 on the MXU.
+
+Gradients: custom VJP over an equivalent XLA composition (recompute) —
+the forward kernel also serves the remat replay in training.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+INTERPRET = False
+
+MAX_VMEM_BYTES = 100 * 1024 * 1024  # v5e VMEM ~128 MiB; leave headroom
+
+
+def _kernel(
+    x_hbm,
+    a_ref,
+    b_ref,
+    w_ref,
+    bias_ref,
+    skip_ref,
+    out_ref,
+    stats_ref,
+    xbuf,
+    awide,
+    pbuf,
+    acc_ref,
+    sems,
+    *,
+    tile_h: int,
+    width: int,
+    n_tiles: int,
+    has_skip: bool,
+):
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    n_b = pl.num_programs(0)
+    slot = (bi * n_tiles + hi) % 2
+
+    def slab_dma(b_idx, h_idx, into_slot):
+        """DMA descriptors for rows [h0-1, h0+tile_h+1) clamped to the
+        image, landing so that xbuf row r holds image row h0-1+r.
+        Branches are emitted statically (n_tiles is trace-time) and
+        selected dynamically; start/wait must use identical descriptors
+        (DMA semaphores complete by byte count)."""
+        if n_tiles == 1:
+            yield None, pltpu.make_async_copy(
+                x_hbm.at[b_idx, pl.ds(0, tile_h), :, :],
+                xbuf.at[into_slot, pl.ds(1, tile_h), pl.ds(8, width), :],
+                sems.at[into_slot],
+            )
+            return
+        h0 = h_idx * tile_h
+        if n_tiles > 2:
+            yield (
+                jnp.logical_and(h_idx > 0, h_idx < n_tiles - 1),
+                pltpu.make_async_copy(
+                    x_hbm.at[b_idx, pl.ds(h0 - 1, tile_h + 2), :, :],
+                    xbuf.at[into_slot, pl.ds(0, tile_h + 2), pl.ds(8, width), :],
+                    sems.at[into_slot],
+                ),
+            )
+        yield h_idx == 0, pltpu.make_async_copy(
+            x_hbm.at[b_idx, pl.ds(0, tile_h + 1), :, :],
+            xbuf.at[into_slot, pl.ds(1, tile_h + 1), pl.ds(8, width), :],
+            sems.at[into_slot],
+        )
+        yield h_idx == n_tiles - 1, pltpu.make_async_copy(
+            x_hbm.at[b_idx, pl.ds(h0 - 1, tile_h + 1), :, :],
+            xbuf.at[into_slot, pl.ds(0, tile_h + 1), pl.ds(8, width), :],
+            sems.at[into_slot],
+        )
+
+    def start_slab(b_idx, h_idx, into_slot):
+        for cond, dma in slab_dma(b_idx, h_idx, into_slot):
+            if cond is None:
+                dma.start()
+            else:
+                pl.when(cond)(dma.start)
+
+    def wait_slab(b_idx, h_idx, into_slot):
+        for cond, dma in slab_dma(b_idx, h_idx, into_slot):
+            if cond is None:
+                dma.wait()
+            else:
+                pl.when(cond)(dma.wait)
+
+    # warm-up: the very first step loads its own slab
+    @pl.when(jnp.logical_and(bi == 0, hi == 0))
+    def _warm():
+        start_slab(bi, hi, slot)
+
+    # prefetch the next step's slab into the other buffer
+    nxt = bi * n_tiles + hi + 1
+
+    @pl.when(nxt < n_b * n_tiles)
+    def _prefetch():
+        start_slab(nxt // n_tiles, nxt % n_tiles, (slot + 1) % 2)
+
+    # wait for this step's slab
+    wait_slab(bi, hi, slot)
+
+    c_in = xbuf.shape[-1]
+    n_out = out_ref.shape[-1]
+
+    # A = silu(x*a + b) over the whole slab (margins become garbage-of-
+    # garbage; the two margin columns the shifts read are zeroed below).
+    raw = xbuf[slot].astype(jnp.float32)
+    act = raw * a_ref[0, 0][None, None, :] + b_ref[0, 0][None, None, :]
+    awide[:] = (act * jax.nn.sigmoid(act)).astype(awide.dtype)
+    awide[:, 7, :] = jnp.zeros_like(awide[:, 7, :])
+    awide[:, 8 + width, :] = jnp.zeros_like(awide[:, 8 + width, :])
+
+    # halo rows outside the image contribute zero (SAME padding is in
+    # t-space: pad AFTER norm+silu)
+    @pl.when(hi == 0)
+    def _zero_top():
+        awide[0] = jnp.zeros_like(awide[0])
+
+    @pl.when(hi == n_tiles - 1)
+    def _zero_bottom():
+        awide[tile_h + 1] = jnp.zeros_like(awide[tile_h + 1])
+
+    # implicit im2col along the column axis only: three shifted copies
+    for v in range(3):
+        pbuf[:, :, v * c_in : (v + 1) * c_in] = awide[:, 7 + v : 7 + v + width, :]
+
+    # three MXU GEMMs, contraction depth 3C; row-spans are contiguous views
+    acc = jnp.zeros((tile_h * width, n_out), jnp.float32)
+    for u in range(3):
+        acc = acc + jax.lax.dot_general(
+            pbuf[u : u + tile_h].reshape(tile_h * width, 3 * c_in),
+            w_ref[u],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    y = acc + bias_ref[:][None, :]
+    if has_skip:
+        y = y + skip_ref[0].reshape(tile_h * width, n_out).astype(jnp.float32)
+    y_store = y.astype(out_ref.dtype)
+    out_ref[0] = y_store.reshape(tile_h, width, n_out)
+
+    # stats epilogue: per-channel sum / sumsq of the STORED (cast) value,
+    # matching what a downstream GroupNorm would read back from HBM.
+    yf = y_store.astype(jnp.float32)
+    part = jnp.stack([jnp.sum(yf, axis=0), jnp.sum(jnp.square(yf), axis=0)])
+
+    @pl.when(hi == 0)
+    def _reset():
+        acc_ref[:] = part
+
+    @pl.when(hi > 0)
+    def _accum():
+        acc_ref[:] = acc_ref[:] + part
+
+    stats_ref[0] = acc_ref[:]
+
+
+def _pick_tile_h(height: int, width: int, c_in: int, n_out: int, itemsize: int):
+    """Largest tile_h whose VMEM footprint fits the budget."""
+    for tile_h in (32, 16, 8, 4):
+        if height % tile_h != 0:
+            continue
+        vmem = _vmem_bytes(tile_h, width, c_in, n_out, itemsize)
+        if vmem <= MAX_VMEM_BYTES:
+            return tile_h, vmem
+    return None, None
+
+
+def _vmem_bytes(tile_h, width, c_in, n_out, itemsize):
+    return (
+        2 * (tile_h + 2) * (width + 16) * c_in * itemsize  # xbuf x2
+        + (tile_h + 2) * (width + 16) * c_in * itemsize    # awide
+        + (tile_h + 2) * width * 3 * c_in * itemsize       # pbuf
+        + (tile_h + 2) * width * c_in * 4                  # act transient
+        + tile_h * width * n_out * 4                       # fp32 accumulator
+        + 3 * 3 * c_in * n_out * itemsize                  # weights
+        + 4 * tile_h * width * n_out * itemsize            # out + skip (2x buffered)
+    )
+
+
+def _chain_fwd_impl(x, a, b, w, bias, skip, tile_h):
+    bsz, height, width, c_in = x.shape
+    n_out = w.shape[-1]
+    has_skip = skip is not None
+    itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+    if tile_h is None:
+        tile_h, vmem = _pick_tile_h(height, width, c_in, n_out, itemsize)
+    else:
+        vmem = _vmem_bytes(tile_h, width, c_in, n_out, itemsize)
+    # (B, C) coefficients -> (B, 1, C): a (1, 1, C) block satisfies the
+    # "last two dims = (8k, 128k) or whole-dim" Mosaic block rule.
+    operands = [x, a[:, None, :], b[:, None, :], w.reshape(3, 3 * c_in, n_out), bias]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((1, 1, c_in), lambda bi, hi: (bi, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c_in), lambda bi, hi: (bi, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (3, 3 * c_in, n_out), lambda bi, hi: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if has_skip:
+        operands.append(skip)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, tile_h, width, n_out),
+                lambda bi, hi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    kernel = functools.partial(
+        _kernel, tile_h=tile_h, width=width, n_tiles=height // tile_h, has_skip=has_skip
+    )
+    if not has_skip:
+        kernel = functools.partial(_no_skip_adapter, kernel)
+    y, stats = pl.pallas_call(
+        kernel,
+        grid=(bsz, height // tile_h),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(
+                (1, tile_h, width, n_out),
+                lambda bi, hi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 2, n_out), lambda bi, hi: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, height, width, n_out), x.dtype),
+            jax.ShapeDtypeStruct((bsz, 2, n_out), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2, width + 16, c_in), x.dtype),
+            pltpu.VMEM((tile_h + 2, width + 16, c_in), x.dtype),
+            pltpu.VMEM((tile_h + 2, width, 3 * c_in), x.dtype),
+            pltpu.VMEM((2, n_out), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem * 1.25) + (1 << 20), 128 * 1024 * 1024),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * bsz * height * width * c_in * n_out,
+            bytes_accessed=(x.size + 9 * c_in * n_out + bsz * height * width * n_out)
+            * itemsize,
+            transcendentals=bsz * height * width * c_in,
+        ),
+        interpret=INTERPRET,
+    )(*operands)
+    return y, stats
+
+
+def _no_skip_adapter(kernel, x_hbm, a, b, w, bias, out_ref, stats_ref, *rest):
+    kernel(x_hbm, a, b, w, bias, None, out_ref, stats_ref, *rest)
+
+
+def _xla_chain(x, a, b, w, bias, skip):
+    """Reference composition (also the VJP recompute path)."""
+    t = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
+    t = (t * jax.nn.sigmoid(t)).astype(x.dtype)
+    y = lax.conv_general_dilated(
+        t, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + bias.astype(jnp.float32)[None, None, None, :]
+    if skip is not None:
+        y = y + skip.astype(jnp.float32)
+    y = y.astype(x.dtype)
+    yf = y.astype(jnp.float32)
+    stats = jnp.stack(
+        [jnp.sum(yf, axis=(1, 2)), jnp.sum(jnp.square(yf), axis=(1, 2))], axis=1
+    )
+    return y, stats
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _chain(x, a, b, w, bias, skip, tile_h):
+    return _chain_fwd_impl(x, a, b, w, bias, skip, tile_h)
+
+
+def _chain_fwd(x, a, b, w, bias, skip, tile_h):
+    return _chain_fwd_impl(x, a, b, w, bias, skip, tile_h), (x, a, b, w, bias, skip)
+
+
+def _chain_bwd(tile_h, residuals, g):
+    x, a, b, w, bias, skip = residuals
+    if skip is None:
+        _, vjp = jax.vjp(lambda *args: _xla_chain(*args, None), x, a, b, w, bias)
+        return (*vjp(g), None)
+    _, vjp = jax.vjp(_xla_chain, x, a, b, w, bias, skip)
+    return vjp(g)
+
+
+_chain.defvjp(_chain_fwd, _chain_bwd)
+
+
+def gn_silu_conv3x3_stats(
+    x: Array,
+    a: Array,
+    b: Array,
+    w: Array,
+    bias: Array,
+    skip: Optional[Array] = None,
+    *,
+    tile_h: Optional[int] = None,
+    force_xla: bool = False,
+) -> Tuple[Array, Array]:
+    """y = conv3x3(silu(x*a + b)) + bias [+ skip]; also returns per-channel
+    (sum, sumsq) of y as (B, 2, N) fp32 — the next GroupNorm's statistics
+    for free. x: (B, H, W, C); a, b: (B, C) fp32 folded GN coefficients."""
+    bsz, height, width, c_in = x.shape
+    n_out = w.shape[-1]
+    on_tpu = False
+    try:
+        on_tpu = jax.default_backend() == "tpu" or INTERPRET
+    except Exception:
+        pass
+    itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+    if tile_h is None:
+        picked, _ = _pick_tile_h(height, width, c_in, n_out, itemsize)
+    else:
+        picked = tile_h if _vmem_bytes(tile_h, width, c_in, n_out, itemsize) <= MAX_VMEM_BYTES else None
+    aligned = (
+        picked is not None
+        and width % 8 == 0
+        and c_in % 128 == 0
+        and n_out % 128 == 0
+    )
+    if force_xla or not on_tpu or not aligned:
+        return _xla_chain(x, a, b, w, bias, skip)
+    return _chain(x, a, b, w, bias, skip, picked)
+
+
+def stats_to_coeffs(
+    stats: Array,
+    scale: Array,
+    bias: Array,
+    num_groups: int,
+    hw: int,
+    eps: float = 1e-6,
+) -> Tuple[Array, Array]:
+    """Fold per-channel (sum, sumsq) into per-(B, C) GroupNorm coefficients
+    a, b with gn(x) = x*a + b. stats: (B, 2, C) fp32; hw = H*W."""
+    bsz, _, c = stats.shape
+    cg = c // num_groups
+    g_sums = stats.reshape(bsz, 2, num_groups, cg).sum(axis=-1)  # (B, 2, G)
+    count = hw * cg
+    mean = g_sums[:, 0] / count
+    meansq = g_sums[:, 1] / count
+    rstd = jax.lax.rsqrt(meansq - jnp.square(mean) + eps)
+    rstd_c = jnp.repeat(rstd, cg, axis=1)
+    mean_c = jnp.repeat(mean, cg, axis=1)
+    a = scale[None, :].astype(jnp.float32) * rstd_c
+    b = bias[None, :].astype(jnp.float32) - mean_c * a
+    return a, b
+
+
+def tensor_stats(x: Array) -> Array:
+    """Per-channel (sum, sumsq) of x as (B, 2, C) fp32 — the chain seed for
+    the first fused block after a non-fused producer."""
+    xf = x.astype(jnp.float32)
+    return jnp.stack([jnp.sum(xf, axis=(1, 2)), jnp.sum(jnp.square(xf), axis=(1, 2))], axis=1)
+
+
+def fused_resnet_block(
+    x: Array,
+    params: dict,
+    *,
+    num_groups: int,
+    stats: Optional[Array] = None,
+    force_xla: bool = False,
+) -> Tuple[Array, Array]:
+    """One diffusers-layout ResnetBlock as two fused kernels.
+
+    params: {"norm1": {scale, bias}, "conv1": {kernel, bias},
+             "norm2": ..., "conv2": ..., optional "conv_shortcut": {kernel, bias}}
+    stats: optional (B, 2, C_in) per-channel stats of x from the previous
+    block's epilogue (saves the GN1 stats pass). Returns (out, stats(out)).
+    """
+    bsz, height, width, c_in = x.shape
+    hw = height * width
+    if stats is None:
+        stats = tensor_stats(x)
+    a1, b1 = stats_to_coeffs(
+        stats, params["norm1"]["scale"], params["norm1"]["bias"], num_groups, hw
+    )
+    k1 = params["conv1"]["kernel"].astype(x.dtype)
+    y1, stats1 = gn_silu_conv3x3_stats(
+        x, a1, b1, k1, params["conv1"]["bias"], force_xla=force_xla
+    )
+    a2, b2 = stats_to_coeffs(
+        stats1, params["norm2"]["scale"], params["norm2"]["bias"], num_groups, hw
+    )
+    if "conv_shortcut" in params:
+        ks = params["conv_shortcut"]["kernel"].astype(x.dtype)  # (1, 1, C_in, N)
+        skip = lax.conv_general_dilated(
+            x, ks, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + params["conv_shortcut"]["bias"].astype(x.dtype)
+    else:
+        skip = x
+    k2 = params["conv2"]["kernel"].astype(x.dtype)
+    out, stats_out = gn_silu_conv3x3_stats(
+        y1, a2, b2, k2, params["conv2"]["bias"], skip, force_xla=force_xla
+    )
+    return out, stats_out

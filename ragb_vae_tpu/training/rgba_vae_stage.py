@@ -485,7 +485,17 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
     # (benchmarks/results.md) without serializing the sharded axis.
     if train_cfg.get("vae_tiling", True):
         model.enable_tiling(train_cfg.get("vae_tile_sample_size"))
-    if train_cfg.get("vae_slicing", True):
+    # fused whole-resnet-block Pallas kernels (forward; the VJP replays the
+    # equivalent XLA chain) — beyond-parity TPU knob, replaces slicing.
+    # Single-device meshes only: Mosaic kernels cannot be auto-partitioned
+    # by GSPMD over the sharded batch axis (benchmarks/results.md).
+    if (
+        train_cfg.get("fused_kernels", False)
+        and jax.default_backend() == "tpu"
+        and n_devices == 1
+    ):
+        model.enable_fused()
+    elif train_cfg.get("vae_slicing", True):
         model.enable_slicing(mesh=mesh)
 
     train_loader = build_dataloader(cfg, split="train")

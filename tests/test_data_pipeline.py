@@ -120,6 +120,23 @@ def test_mixed_bucket_dataset(trees):
     assert set(ds.bucket_to_indices) == {"w64-h64", "w128-h64"}
 
 
+def test_mixed_bucket_dataset_getitems_matches_getitem(trees):
+    """The batch-fetch path (native C++ decode when available, else the
+    per-item fallback) must be sample-for-sample identical to __getitem__."""
+    entries = build_bucket_entries(
+        [{"type": "components", "root": str(trees["components"])}], split="train"
+    )
+    ds = MixedBucketDataset(trees["components"], entries, include_metadata=True)
+    idx = ds.bucket_to_indices["w64-h64"][:4]  # bucket-pure, same dims
+    batch = ds.getitems(idx)
+    assert len(batch) == len(idx)
+    for got, i in zip(batch, idx):
+        want = ds[i]
+        np.testing.assert_allclose(got["composite"], want["composite"], atol=1e-6)
+        assert got["image_path"] == want["image_path"]
+        assert got["bucket"] == want["bucket"]
+
+
 def test_bucket_batch_sampler_purity_and_len(trees):
     entries = build_bucket_entries(
         [{"type": "components", "root": str(trees["components"])}], split="train"

@@ -88,6 +88,50 @@ def test_custom_vjp_backward_matches_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("seq_q,seq_k", [(256, 256), (300, 200), (120, 77)])
+def test_fused_backward_multiblock_and_ragged(seq_q, seq_k):
+    """The fused dQ/dK/dV kernels across block boundaries and pad masking."""
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((2, seq_q, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, seq_k, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, seq_k, 64)), jnp.float32)
+    scale = 1.0 / 8.0
+    g = jnp.asarray(rng.standard_normal((2, seq_q, 64)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(pa._flash_attention_3d(q, k, v, scale, 128, 128) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref_attention(q, k, v, scale) * g)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def test_fused_backward_bf16_dtypes():
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.standard_normal((1, 256, 128)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, 256, 128)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, 256, 128)), jnp.bfloat16)
+    scale = 1.0 / math.sqrt(128)
+
+    def loss(q, k, v):
+        return jnp.sum(pa._flash_attention_3d(q, k, v, scale, 128, 128).astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    ref = jax.grad(
+        lambda q, k, v: jnp.sum(_ref_attention(q, k, v, scale).astype(jnp.float32) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(grads, ref):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=0.1, atol=0.5
+        )
+
+
 def test_attention_wrapper_4d_fallback():
     rng = np.random.default_rng(4)
     q = jnp.asarray(rng.standard_normal((2, 3, 40, 16)), jnp.float32)

@@ -1,0 +1,162 @@
+"""Whole-resnet-block fused kernels vs XLA composition (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ragb_vae_tpu.ops.pallas.resnet_block as rb
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    rb.INTERPRET = True
+    yield
+    rb.INTERPRET = False
+
+
+def _chain_inputs(bsz, h, w, c, n, seed=0, skip=False):
+    rng = np.random.default_rng(seed)
+    out = [
+        jnp.asarray(rng.standard_normal((bsz, h, w, c)), jnp.float32),
+        jnp.asarray(rng.standard_normal((bsz, c)) * 0.5 + 1.0, jnp.float32),
+        jnp.asarray(rng.standard_normal((bsz, c)) * 0.2, jnp.float32),
+        jnp.asarray(rng.standard_normal((3, 3, c, n)) * 0.05, jnp.float32),
+        jnp.asarray(rng.standard_normal(n) * 0.1, jnp.float32),
+    ]
+    if skip:
+        out.append(jnp.asarray(rng.standard_normal((bsz, h, w, n)), jnp.float32))
+    else:
+        out.append(None)
+    return out
+
+
+@pytest.mark.parametrize("bsz,h,w,c,n,skip", [
+    (1, 16, 128, 128, 128, False),
+    (2, 16, 128, 128, 128, True),
+    (2, 8, 256, 128, 256, False),
+])
+def test_chain_matches_xla(bsz, h, w, c, n, skip):
+    x, a, b, wk, bias, sk = _chain_inputs(bsz, h, w, c, n, skip=skip)
+    y, stats = rb.gn_silu_conv3x3_stats(x, a, b, wk, bias, sk, tile_h=4)
+    y_ref, stats_ref = rb._xla_chain(x, a, b, wk, bias, sk)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(stats), np.asarray(stats_ref), rtol=1e-3, atol=1e-2
+    )
+
+
+def test_stats_feed_next_groupnorm():
+    """Chained stats must reproduce a direct GroupNorm on the output."""
+    bsz, h, w, c = 2, 16, 128, 128
+    x, a, b, wk, bias, _ = _chain_inputs(bsz, h, w, c, c)
+    y, stats = rb.gn_silu_conv3x3_stats(x, a, b, wk, bias, tile_h=4)
+    scale = jnp.ones((c,)) * 1.3
+    beta = jnp.ones((c,)) * 0.1
+    a2, b2 = rb.stats_to_coeffs(stats, scale, beta, num_groups=32, hw=h * w)
+    ours = np.asarray(y) * np.asarray(a2)[:, None, None, :] + np.asarray(b2)[:, None, None, :]
+
+    yf = np.asarray(y, np.float32).reshape(bsz, h * w, 32, c // 32)
+    mean = yf.mean(axis=(1, 3))
+    var = (yf ** 2).mean(axis=(1, 3)) - mean ** 2
+    rstd = 1.0 / np.sqrt(var + 1e-6)
+    ref = (
+        np.asarray(y).reshape(bsz, h * w, 32, c // 32) - mean[:, None, :, None]
+    ) * rstd[:, None, :, None]
+    ref = ref.reshape(bsz, h, w, c) * np.asarray(scale)[None, None, None, :] + np.asarray(
+        beta
+    )[None, None, None, :]
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+def _block_params(c_in, c_out, seed=0):
+    rng = np.random.default_rng(seed)
+    p = {
+        "norm1": {"scale": jnp.asarray(rng.standard_normal(c_in) * 0.2 + 1.0, jnp.float32),
+                  "bias": jnp.asarray(rng.standard_normal(c_in) * 0.1, jnp.float32)},
+        "conv1": {"kernel": jnp.asarray(rng.standard_normal((3, 3, c_in, c_out)) * 0.05, jnp.float32),
+                  "bias": jnp.asarray(rng.standard_normal(c_out) * 0.1, jnp.float32)},
+        "norm2": {"scale": jnp.asarray(rng.standard_normal(c_out) * 0.2 + 1.0, jnp.float32),
+                  "bias": jnp.asarray(rng.standard_normal(c_out) * 0.1, jnp.float32)},
+        "conv2": {"kernel": jnp.asarray(rng.standard_normal((3, 3, c_out, c_out)) * 0.05, jnp.float32),
+                  "bias": jnp.asarray(rng.standard_normal(c_out) * 0.1, jnp.float32)},
+    }
+    if c_in != c_out:
+        p["conv_shortcut"] = {
+            "kernel": jnp.asarray(rng.standard_normal((1, 1, c_in, c_out)) * 0.2, jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal(c_out) * 0.1, jnp.float32),
+        }
+    return p
+
+
+def _ref_block(x, p, num_groups=32):
+    """Direct GroupNorm -> SiLU -> conv x2 + skip (the unfused model math)."""
+    def gnorm(t, scale, bias):
+        bsz, h, w, c = t.shape
+        g = num_groups
+        grouped = t.reshape(bsz, h * w, g, c // g).astype(jnp.float32)
+        mean = grouped.mean(axis=(1, 3))
+        var = (grouped ** 2).mean(axis=(1, 3)) - mean ** 2
+        rstd = jax.lax.rsqrt(var + 1e-6)
+        a = scale.reshape(1, 1, g, c // g) * rstd[:, None, :, None]
+        bcoef = bias.reshape(1, 1, g, c // g) - mean[:, None, :, None] * a
+        return (grouped * a + bcoef).reshape(bsz, h, w, c).astype(t.dtype)
+
+    def conv(t, kernel, bias):
+        y = jax.lax.conv_general_dilated(
+            t, kernel, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return y + bias.astype(y.dtype)
+
+    h1 = conv(jax.nn.silu(gnorm(x, p["norm1"]["scale"], p["norm1"]["bias"])),
+              p["conv1"]["kernel"], p["conv1"]["bias"])
+    h2 = conv(jax.nn.silu(gnorm(h1, p["norm2"]["scale"], p["norm2"]["bias"])),
+              p["conv2"]["kernel"], p["conv2"]["bias"])
+    if "conv_shortcut" in p:
+        x = conv(x, p["conv_shortcut"]["kernel"], p["conv_shortcut"]["bias"])
+    return x + h2
+
+
+@pytest.mark.parametrize("c_in,c_out", [(128, 128), (256, 128)])
+def test_fused_block_matches_reference(c_in, c_out):
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 8, 128, c_in)), jnp.float32)
+    p = _block_params(c_in, c_out)
+    out, stats = rb.fused_resnet_block(x, p, num_groups=32)
+    ref = _ref_block(x, p)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(stats), np.asarray(rb.tensor_stats(ref)), rtol=1e-3, atol=1e-1
+    )
+
+
+def test_fused_block_chained_stats():
+    """Feeding block N's stats into block N+1 must equal the direct math."""
+    rng = np.random.default_rng(7)
+    c = 128
+    x = jnp.asarray(rng.standard_normal((1, 8, 128, c)), jnp.float32)
+    p1, p2 = _block_params(c, c, seed=1), _block_params(c, c, seed=2)
+    y1, s1 = rb.fused_resnet_block(x, p1, num_groups=32)
+    y2, _ = rb.fused_resnet_block(y1, p2, num_groups=32, stats=s1)
+    ref = _ref_block(_ref_block(x, p1), p2)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+def test_block_grads_match():
+    rng = np.random.default_rng(9)
+    c = 128
+    x = jnp.asarray(rng.standard_normal((1, 8, 128, c)), jnp.float32)
+    p = _block_params(c, c)
+
+    def loss_fused(x_, k_):
+        p_ = {**p, "conv1": {**p["conv1"], "kernel": k_}}
+        out, _ = rb.fused_resnet_block(x_, p_, num_groups=32)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(x_, k_):
+        p_ = {**p, "conv1": {**p["conv1"], "kernel": k_}}
+        return jnp.sum(_ref_block(x_, p_) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(x, p["conv1"]["kernel"])
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(x, p["conv1"]["kernel"])
+    for ours, ref in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=1e-3)
