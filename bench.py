@@ -88,7 +88,16 @@ def psnr_delta_mode(size: int) -> None:
     )
 
 
-def train_step_mode(size: int, batch: int, iters: int, *, lpips: bool = True) -> None:
+def train_step_mode(
+    size: int,
+    batch: int,
+    iters: int,
+    *,
+    lpips: bool = True,
+    grad_accum: int = 1,
+    slicing: bool = True,
+    tile: int = 0,
+) -> None:
     """Training-step throughput: the full jitted RGBA-VAE step (triplet
     encode -> posterior split/sample -> decode -> AlphaVAE loss + LPIPS
     + KL -> clip -> AdamW) at a bucket resolution — the reference's actual
@@ -125,12 +134,19 @@ def train_step_mode(size: int, batch: int, iters: int, *, lpips: bool = True) ->
     config.in_channels = 4
     config.out_channels = 4
     model = RgbaVAE(config=config, dtype=jnp.bfloat16, remat=True)
-    model.enable_slicing()
+    if slicing:
+        model.enable_slicing()
+    if tile:
+        # gradient-capable tiled encode/decode (models/vae_tiling.py) —
+        # bounds activation memory at high resolution (diffusers
+        # enable_tiling parity; the reference trains with it ON)
+        model.enable_tiling(tile)
     params = model.init_params(jax.random.PRNGKey(0), image_size=64)
     tx = make_optimizer(1e-5, max_grad_norm=1.0)
     step_cfg = VaeStepConfig(
         kl_scale=1e-6,
         lpips_scale=0.5 if lpips_fn is not None else 0.0,
+        gradient_accumulation_steps=grad_accum,
         compute_dtype=jnp.bfloat16,
     )
     loss_cfg = AlphaVaeLossConfig(reduce_mean=True)
@@ -161,7 +177,11 @@ def train_step_mode(size: int, batch: int, iters: int, *, lpips: bool = True) ->
     dt = time.perf_counter() - t0
     rate = batch * iters / dt
     tag = "lpips" if lpips_fn is not None else "nolpips"
-    log(f"[bench] train step {size}px batch {batch} ({tag}): {dt/iters:.3f}s/step -> {rate:.3f} img/s")
+    accum_tag = f" accum {grad_accum}" if grad_accum > 1 else ""
+    log(
+        f"[bench] train step {size}px batch {batch} ({tag}){accum_tag}: "
+        f"{dt/iters:.3f}s/step -> {rate:.3f} img/s"
+    )
     print(
         json.dumps(
             {
@@ -187,6 +207,13 @@ def main() -> None:
     )
     parser.add_argument("--no-lpips", action="store_true",
                         help="train_step mode: drop the LPIPS term")
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="train_step mode: in-step gradient accumulation "
+                        "(microbatch = batch / accum; the 16 GB memory lever)")
+    parser.add_argument("--no-slicing", action="store_true",
+                        help="train_step mode: disable per-sample VAE slicing")
+    parser.add_argument("--tile", type=int, default=0,
+                        help="train_step mode: VAE tile size (0 = no tiling)")
     parser.add_argument(
         "--fused",
         action="store_true",
@@ -202,7 +229,9 @@ def main() -> None:
         return
     if args.metric == "train_step":
         train_step_mode(
-            min(args.size, 512), args.batches[0], args.iters, lpips=not args.no_lpips
+            args.size, args.batches[0], args.iters, lpips=not args.no_lpips,
+            grad_accum=args.grad_accum, slicing=not args.no_slicing,
+            tile=args.tile,
         )
         return
 

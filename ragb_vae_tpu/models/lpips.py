@@ -55,13 +55,19 @@ def _max_pool_2x2(x: Array) -> Array:
     )
 
 
-def lpips_features(x: Array, params: LPIPSParams) -> List[Array]:
-    """Run VGG16 features, returning the five slice outputs (post-ReLU)."""
+def lpips_features(x: Array, params: LPIPSParams, *, remat: bool = True) -> List[Array]:
+    """Run VGG16 features, returning the five slice outputs (post-ReLU).
+
+    remat=True checkpoints each SLICE: the backward recomputes one slice's
+    conv activations at a time instead of keeping all 13 conv outputs in
+    fp32 — at 512^2 training resolution that drops ~5 GB of VGG residuals
+    from the step's peak (the single largest consumer in the 16 GB OOM
+    dump, bench train_step) for one extra VGG forward's FLOPs.
+    """
+    import jax
     from jax import lax
 
-    h = x
-    outputs: List[Array] = []
-    for slice_convs in _SLICES:
+    def run_slice(h: Array, slice_convs) -> Array:
         for idx in slice_convs:
             if idx in _POOL_BEFORE:
                 h = _max_pool_2x2(h)
@@ -75,6 +81,15 @@ def lpips_features(x: Array, params: LPIPSParams) -> List[Array]:
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + b
             h = jnp.maximum(h, 0.0)
+        return h
+
+    h = x
+    outputs: List[Array] = []
+    for slice_convs in _SLICES:
+        if remat:
+            h = jax.checkpoint(run_slice, static_argnums=(1,))(h, tuple(slice_convs))
+        else:
+            h = run_slice(h, slice_convs)
         outputs.append(h)
     return outputs
 
@@ -83,8 +98,13 @@ def lpips_distance(x: Array, y: Array, params: LPIPSParams) -> Array:
     """Per-sample LPIPS distance, inputs NHWC RGB in [-1, 1] -> (B,)."""
     shift = jnp.asarray(_SHIFT)
     scale = jnp.asarray(_SCALE)
+    import jax
+
     x_in = (x.astype(jnp.float32) - shift) / scale
-    y_in = (y.astype(jnp.float32) - shift) / scale
+    # the reference target is detached (losses.py computes lpips against
+    # data); the explicit stop_gradient also lets XLA drop the whole
+    # y-stream's backward residuals
+    y_in = jax.lax.stop_gradient((y.astype(jnp.float32) - shift) / scale)
     feats_x = lpips_features(x_in, params)
     feats_y = lpips_features(y_in, params)
     total = jnp.zeros(x.shape[0], dtype=jnp.float32)

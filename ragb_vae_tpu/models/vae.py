@@ -213,13 +213,26 @@ class Upsample(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
     fast: bool = False
+    # fused=True: the conv runs as the identity-activation fused kernel
+    # with the stats epilogue; __call__ then returns (y, stats) so the
+    # next level's first fused block skips its GN1 stats pass.
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array):
         b, h, w, c = x.shape
+        if self.fused:
+            from ragb_vae_tpu.ops.pallas.resnet_block import fused_conv3x3_stats
+
+            kernel, bias = _Conv3x3Params(self.out_channels, c, name="conv")()
+            up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            return fused_conv3x3_stats(
+                up.astype(self.dtype), kernel.astype(self.dtype), bias
+            )
         if not self.fast:
             up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-            return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(up)
+            y = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(up)
+            return y, None
 
         kernel, bias = _Conv3x3Params(self.out_channels, c, name="conv")()
         wk = kernel.astype(self.dtype)
@@ -258,7 +271,7 @@ class Upsample(nn.Module):
         inner1 = jnp.stack([ys[(1, 0)], ys[(1, 1)]], axis=3)
         y = jnp.stack([inner0, inner1], axis=2)  # (b, h, 2, w, 2, C)
         y = y.reshape(b, 2 * h, 2 * w, self.out_channels)
-        return y + bias.astype(self.dtype)
+        return y + bias.astype(self.dtype), None
 
 
 class _Conv3x3Params(nn.Module):
@@ -332,6 +345,7 @@ class SpatialAttention(nn.Module):
     channels: int
     num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -342,15 +356,19 @@ class SpatialAttention(nn.Module):
         q = nn.Dense(self.channels, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(self.channels, dtype=self.dtype, name="to_k")(y)
         v = nn.Dense(self.channels, dtype=self.dtype, name="to_v")(y)
-        # Exact chunked XLA attention (bounded memory, no SxS logits).
-        # Measured FASTER than the pallas flash kernel here: the mid-block
-        # runs inside the per-sample lax.map slice scan, where opaque
-        # pallas calls pipeline poorly (8.37 vs 7.96 img/s e2e at 1024^2,
-        # benchmarks/results.md); the Flux transformer — outside any scan,
-        # with far longer sequences — keeps the flash kernel.
+        # Exact chunked XLA attention (bounded memory, no SxS logits) on
+        # the SLICED path: the mid-block then runs inside the per-sample
+        # lax.map scan, where opaque pallas calls pipeline poorly (8.37 vs
+        # 7.96 img/s e2e at 1024^2, benchmarks/results.md). On the FUSED
+        # path the model never runs under lax.map, so the flash kernel is
+        # used like the Flux transformer does.
         from ragb_vae_tpu.ops.pallas import attention as fused_attention
 
-        attn = fused_attention(q[:, None], k[:, None], v[:, None], force_xla=True)[:, 0]
+        # force_xla=None lets the wrapper fall back to XLA off-TPU
+        attn = fused_attention(
+            q[:, None], k[:, None], v[:, None],
+            force_xla=True if not self.fused else None,
+        )[:, 0]
         out = nn.Dense(self.channels, dtype=self.dtype, name="to_out")(attn)
         return residual + out.reshape(b, h, w, c)
 
@@ -369,7 +387,10 @@ class MidBlock(nn.Module):
         )(x)
         if self.add_attention:
             # attention rewrites x -> epilogue stats no longer describe it
-            x = SpatialAttention(self.channels, self.num_groups, self.dtype, name="attention")(x)
+            x = SpatialAttention(
+                self.channels, self.num_groups, self.dtype, self.fused,
+                name="attention",
+            )(x)
             stats = None
         x, _ = ResnetBlock(
             self.channels, self.num_groups, self.dtype, self.fused, name="resnets_1"
@@ -437,15 +458,19 @@ class Decoder(nn.Module):
             name="mid_block",
         )(z)
         n_blocks = len(reversed_channels)
+        stats = None  # mid-block invalidates the chain
         for i, out_ch in enumerate(reversed_channels):
-            stats = None  # mid-block/upsample invalidate the chain
             for j in range(cfg.layers_per_block + 1):
                 z, stats = block(
                     out_ch, cfg.norm_num_groups, self.dtype, self.fused,
                     name=f"up_blocks_{i}_resnets_{j}",
                 )(z, stats)
             if i < n_blocks - 1:
-                z = Upsample(out_ch, self.dtype, name=f"up_blocks_{i}_upsample")(z)
+                # fused Upsample re-seeds the chain from its conv epilogue
+                z, stats = Upsample(
+                    out_ch, self.dtype, fused=self.fused,
+                    name=f"up_blocks_{i}_upsample",
+                )(z)
         z = _group_norm(cfg.norm_num_groups, "conv_norm_out", self.dtype)(z)
         z = nn.silu(z).astype(self.dtype)
         z = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(z)

@@ -172,7 +172,14 @@ def flash_attention_fwd_3d(
 def chunked_attention_3d(
     q: Array, k: Array, v: Array, *, sm_scale: float, chunk: int = 1024
 ) -> Array:
-    """Exact attention, q-chunked (XLA path; backward-friendly)."""
+    """Exact attention, q-chunked (XLA path; backward-friendly).
+
+    Each chunk is rematerialized: without it, reverse-mode saves every
+    chunk's (chunk, S) logits+softmax — O(S^2) fp32 residuals that
+    dominated the 1024^2 training-step OOM (16k-token VAE mid-block).
+    With remat the backward recomputes one chunk's logits at a time.
+    """
+    @jax.checkpoint
     def one_chunk(q_blk):
         logits = jnp.einsum("bqd,bkd->bqk", q_blk, k).astype(jnp.float32) * sm_scale
         weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)

@@ -73,6 +73,8 @@ def _kernel(
     w_ref,
     bias_ref,
     skip_ref,
+    ws_ref,
+    wsb_ref,
     out_ref,
     stats_ref,
     xbuf,
@@ -85,6 +87,8 @@ def _kernel(
     width: int,
     n_tiles: int,
     has_skip: bool,
+    has_proj: bool,
+    activation: str,
 ):
     bi = pl.program_id(0)
     hi = pl.program_id(1)
@@ -157,11 +161,13 @@ def _kernel(
     c_in = xbuf.shape[-1]
     n_out = out_ref.shape[-1]
 
-    # A = silu(x*a + b) over the whole slab (margins become garbage-of-
+    # A = act(x*a + b) over the whole slab (margins become garbage-of-
     # garbage; the two margin columns the shifts read are zeroed below).
     raw = xbuf[slot].astype(jnp.float32)
     act = raw * a_ref[0, 0][None, None, :] + b_ref[0, 0][None, None, :]
-    awide[:] = (act * jax.nn.sigmoid(act)).astype(awide.dtype)
+    if activation == "silu":
+        act = act * jax.nn.sigmoid(act)
+    awide[:] = act.astype(awide.dtype)
     awide[:, 7, :] = jnp.zeros_like(awide[:, 7, :])
     awide[:, 8 + width, :] = jnp.zeros_like(awide[:, 8 + width, :])
 
@@ -189,7 +195,19 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )
     y = acc + bias_ref[:][None, :]
-    if has_skip:
+    if has_skip and has_proj:
+        # projected residual: skip_ref streams the ORIGINAL block input x
+        # (c_skip channels) and the 1x1 conv_shortcut runs as a 4th GEMM
+        # here — the separate XLA pass that wrote a full skip tensor to
+        # HBM (and the kernel's read of it) collapses into one read of x.
+        c_skip = skip_ref.shape[-1]
+        y = y + jax.lax.dot_general(
+            skip_ref[0].reshape(tile_h * width, c_skip),
+            ws_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + wsb_ref[:][None, :]
+    elif has_skip:
         y = y + skip_ref[0].reshape(tile_h * width, n_out).astype(jnp.float32)
     y_store = y.astype(out_ref.dtype)
     out_ref[0] = y_store.reshape(tile_h, width, n_out)
@@ -210,18 +228,18 @@ def _kernel(
     stats_ref[0] = acc_ref[:]
 
 
-def _pick_tile_h(height: int, width: int, c_in: int, n_out: int, itemsize: int):
+def _pick_tile_h(height: int, width: int, c_in: int, n_out: int, itemsize: int, c_skip=None):
     """Largest tile_h whose VMEM footprint fits the budget."""
     for tile_h in (32, 16, 8, 4):
         if height % tile_h != 0:
             continue
-        vmem = _vmem_bytes(tile_h, width, c_in, n_out, itemsize)
+        vmem = _vmem_bytes(tile_h, width, c_in, n_out, itemsize, c_skip)
         if vmem <= MAX_VMEM_BYTES:
             return tile_h, vmem
     return None, None
 
 
-def _vmem_bytes(tile_h, width, c_in, n_out, itemsize):
+def _vmem_bytes(tile_h, width, c_in, n_out, itemsize, c_skip=None):
     return (
         2 * (tile_h + 2) * (width + 16) * c_in * itemsize  # xbuf x2
         + (tile_h + 2) * (width + 16) * c_in * itemsize    # awide
@@ -229,19 +247,23 @@ def _vmem_bytes(tile_h, width, c_in, n_out, itemsize):
         + (tile_h + 2) * width * c_in * 4                  # act transient
         + tile_h * width * n_out * 4                       # fp32 accumulator
         + 3 * 3 * c_in * n_out * itemsize                  # weights
-        + 4 * tile_h * width * n_out * itemsize            # out + skip (2x buffered)
+        + 2 * tile_h * width * n_out * itemsize            # out (2x buffered)
+        + 2 * tile_h * width * (c_skip or n_out) * itemsize  # skip (2x buffered)
+        + (0 if c_skip is None else c_skip * n_out * itemsize)  # 1x1 proj weights
     )
 
 
-def _chain_fwd_impl(x, a, b, w, bias, skip, tile_h):
+def _chain_fwd_impl(x, a, b, w, bias, skip, ws, wsb, tile_h, activation):
     bsz, height, width, c_in = x.shape
     n_out = w.shape[-1]
     has_skip = skip is not None
+    has_proj = ws is not None
+    c_skip = skip.shape[-1] if has_proj else None
     itemsize = 2 if x.dtype == jnp.bfloat16 else 4
     if tile_h is None:
-        tile_h, vmem = _pick_tile_h(height, width, c_in, n_out, itemsize)
+        tile_h, vmem = _pick_tile_h(height, width, c_in, n_out, itemsize, c_skip)
     else:
-        vmem = _vmem_bytes(tile_h, width, c_in, n_out, itemsize)
+        vmem = _vmem_bytes(tile_h, width, c_in, n_out, itemsize, c_skip)
     # (B, C) coefficients -> (B, 1, C): a (1, 1, C) block satisfies the
     # "last two dims = (8k, 128k) or whole-dim" Mosaic block rule.
     operands = [x, a[:, None, :], b[:, None, :], w.reshape(3, 3 * c_in, n_out), bias]
@@ -258,16 +280,29 @@ def _chain_fwd_impl(x, a, b, w, bias, skip, tile_h):
         operands.append(skip)
         in_specs.append(
             pl.BlockSpec(
-                (1, tile_h, width, n_out),
+                (1, tile_h, width, c_skip if has_proj else n_out),
                 lambda bi, hi: (bi, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
+    if has_proj:
+        operands.extend([ws, wsb])
+        in_specs.extend([
+            pl.BlockSpec((c_skip, n_out), lambda bi, hi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ])
     kernel = functools.partial(
-        _kernel, tile_h=tile_h, width=width, n_tiles=height // tile_h, has_skip=has_skip
+        _kernel,
+        tile_h=tile_h,
+        width=width,
+        n_tiles=height // tile_h,
+        has_skip=has_skip,
+        has_proj=has_proj,
+        activation=activation,
     )
-    if not has_skip:
-        kernel = functools.partial(_no_skip_adapter, kernel)
+    kernel = functools.partial(
+        _operand_adapter, kernel, has_skip=has_skip, has_proj=has_proj
+    )
     y, stats = pl.pallas_call(
         kernel,
         grid=(bsz, height // tile_h),
@@ -305,20 +340,35 @@ def _chain_fwd_impl(x, a, b, w, bias, skip, tile_h):
     return y, stats
 
 
-def _no_skip_adapter(kernel, x_hbm, a, b, w, bias, out_ref, stats_ref, *rest):
-    kernel(x_hbm, a, b, w, bias, None, out_ref, stats_ref, *rest)
+def _operand_adapter(kernel, *args, has_skip: bool, has_proj: bool):
+    """Map the variable pallas operand list onto _kernel's fixed signature."""
+    n_lead = 5  # x, a, b, w, bias
+    lead = args[:n_lead]
+    rest = list(args[n_lead:])
+    skip = rest.pop(0) if has_skip else None
+    ws = rest.pop(0) if has_proj else None
+    wsb = rest.pop(0) if has_proj else None
+    kernel(*lead, skip, ws, wsb, *rest)
 
 
-def _xla_chain(x, a, b, w, bias, skip):
+def _xla_chain(x, a, b, w, bias, skip, ws=None, wsb=None, activation="silu"):
     """Reference composition (also the VJP recompute path)."""
     t = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
-    t = (t * jax.nn.sigmoid(t)).astype(x.dtype)
+    if activation == "silu":
+        t = t * jax.nn.sigmoid(t)
+    t = t.astype(x.dtype)
     y = lax.conv_general_dilated(
         t, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
     y = y + bias.astype(jnp.float32)[None, None, None, :]
-    if skip is not None:
+    if skip is not None and ws is not None:
+        proj = lax.dot_general(
+            skip, ws, dimension_numbers=(((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = y + proj + wsb.astype(jnp.float32)[None, None, None, :]
+    elif skip is not None:
         y = y + skip.astype(jnp.float32)
     y = y.astype(x.dtype)
     yf = y.astype(jnp.float32)
@@ -328,22 +378,41 @@ def _xla_chain(x, a, b, w, bias, skip):
     return y, stats
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _chain(x, a, b, w, bias, skip, tile_h):
-    return _chain_fwd_impl(x, a, b, w, bias, skip, tile_h)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _chain(x, a, b, w, bias, skip, ws, wsb, tile_h, activation):
+    return _chain_fwd_impl(x, a, b, w, bias, skip, ws, wsb, tile_h, activation)
 
 
-def _chain_fwd(x, a, b, w, bias, skip, tile_h):
-    return _chain_fwd_impl(x, a, b, w, bias, skip, tile_h), (x, a, b, w, bias, skip)
+def _chain_fwd(x, a, b, w, bias, skip, ws, wsb, tile_h, activation):
+    out = _chain_fwd_impl(x, a, b, w, bias, skip, ws, wsb, tile_h, activation)
+    return out, (x, a, b, w, bias, skip, ws, wsb)
 
 
-def _chain_bwd(tile_h, residuals, g):
-    x, a, b, w, bias, skip = residuals
-    if skip is None:
-        _, vjp = jax.vjp(lambda *args: _xla_chain(*args, None), x, a, b, w, bias)
-        return (*vjp(g), None)
-    _, vjp = jax.vjp(_xla_chain, x, a, b, w, bias, skip)
-    return vjp(g)
+def _chain_bwd(tile_h, activation, residuals, g):
+    x, a, b, w, bias, skip, ws, wsb = residuals
+    args = [x, a, b, w, bias]
+    if skip is not None:
+        args.append(skip)
+    if ws is not None:
+        args.extend([ws, wsb])
+
+    def restate(*diff_args):
+        it = iter(diff_args)
+        xx, aa, bb, ww, bb2 = (next(it) for _ in range(5))
+        sk = next(it) if skip is not None else None
+        pw = next(it) if ws is not None else None
+        pb = next(it) if ws is not None else None
+        return _xla_chain(xx, aa, bb, ww, bb2, sk, pw, pb, activation)
+
+    _, vjp = jax.vjp(restate, *args)
+    grads = list(vjp(g))
+    out = grads[:5]
+    out.append(grads[5] if skip is not None else None)
+    if ws is not None:
+        out.extend(grads[6:8])
+    else:
+        out.extend([None, None])
+    return tuple(out)
 
 
 _chain.defvjp(_chain_fwd, _chain_bwd)
@@ -357,33 +426,45 @@ def gn_silu_conv3x3_stats(
     bias: Array,
     skip: Optional[Array] = None,
     *,
+    proj: Optional[Tuple[Array, Array]] = None,
+    activation: str = "silu",
     tile_h: Optional[int] = None,
     force_xla: bool = False,
 ) -> Tuple[Array, Array]:
-    """y = conv3x3(silu(x*a + b)) + bias [+ skip]; also returns per-channel
-    (sum, sumsq) of y as (B, 2, N) fp32 — the next GroupNorm's statistics
-    for free. x: (B, H, W, C); a, b: (B, C) fp32 folded GN coefficients."""
+    """y = conv3x3(act(x*a + b)) + bias [+ skip or 1x1(skip)]; also returns
+    per-channel (sum, sumsq) of y as (B, 2, N) fp32 — the next GroupNorm's
+    statistics for free. x: (B, H, W, C); a, b: (B, C) fp32 folded GN
+    coefficients. `proj=(ws, wsb)` runs the 1x1 conv_shortcut on `skip`
+    IN-KERNEL (ws: (C_skip, N)); `activation` is "silu" or "identity"
+    (identity + unit coeffs = a bare conv, e.g. the decoder upsample conv)."""
     bsz, height, width, c_in = x.shape
     n_out = w.shape[-1]
+    ws, wsb = proj if proj is not None else (None, None)
     on_tpu = False
     try:
         on_tpu = jax.default_backend() == "tpu" or INTERPRET
     except Exception:
         pass
     itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+    c_skip = skip.shape[-1] if ws is not None else None
     if tile_h is None:
-        picked, _ = _pick_tile_h(height, width, c_in, n_out, itemsize)
+        picked, _ = _pick_tile_h(height, width, c_in, n_out, itemsize, c_skip)
     else:
-        picked = tile_h if _vmem_bytes(tile_h, width, c_in, n_out, itemsize) <= MAX_VMEM_BYTES else None
+        picked = (
+            tile_h
+            if _vmem_bytes(tile_h, width, c_in, n_out, itemsize, c_skip) <= MAX_VMEM_BYTES
+            else None
+        )
     aligned = (
         picked is not None
         and width % 8 == 0
         and c_in % 128 == 0
         and n_out % 128 == 0
+        and (c_skip is None or c_skip % 128 == 0)
     )
     if force_xla or not on_tpu or not aligned:
-        return _xla_chain(x, a, b, w, bias, skip)
-    return _chain(x, a, b, w, bias, skip, picked)
+        return _xla_chain(x, a, b, w, bias, skip, ws, wsb, activation)
+    return _chain(x, a, b, w, bias, skip, ws, wsb, picked, activation)
 
 
 def stats_to_coeffs(
@@ -417,6 +498,20 @@ def tensor_stats(x: Array) -> Array:
     return jnp.stack([jnp.sum(xf, axis=(1, 2)), jnp.sum(jnp.square(xf), axis=(1, 2))], axis=1)
 
 
+def fused_conv3x3_stats(
+    x: Array, kernel: Array, bias: Array, *, force_xla: bool = False
+) -> Tuple[Array, Array]:
+    """Bare conv3x3 + bias through the fused kernel (identity activation,
+    unit coefficients) with the free (sum, sumsq) stats epilogue — used for
+    the decoder Upsample conv so the NEXT block's GN1 stats pass is free."""
+    bsz, _, _, c_in = x.shape
+    ones = jnp.ones((bsz, c_in), jnp.float32)
+    zeros = jnp.zeros((bsz, c_in), jnp.float32)
+    return gn_silu_conv3x3_stats(
+        x, ones, zeros, kernel, bias, activation="identity", force_xla=force_xla
+    )
+
+
 def fused_resnet_block(
     x: Array,
     params: dict,
@@ -446,15 +541,20 @@ def fused_resnet_block(
     a2, b2 = stats_to_coeffs(
         stats1, params["norm2"]["scale"], params["norm2"]["bias"], num_groups, hw
     )
-    if "conv_shortcut" in params:
-        ks = params["conv_shortcut"]["kernel"].astype(x.dtype)  # (1, 1, C_in, N)
-        skip = lax.conv_general_dilated(
-            x, ks, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-        ) + params["conv_shortcut"]["bias"].astype(x.dtype)
-    else:
-        skip = x
     k2 = params["conv2"]["kernel"].astype(x.dtype)
-    out, stats_out = gn_silu_conv3x3_stats(
-        y1, a2, b2, k2, params["conv2"]["bias"], skip, force_xla=force_xla
-    )
+    if "conv_shortcut" in params:
+        # 1x1 projected residual runs IN kernel 2 (4th GEMM on the x slab)
+        ks = params["conv_shortcut"]["kernel"]  # (1, 1, C_in, N)
+        proj = (
+            ks.reshape(ks.shape[-2], ks.shape[-1]).astype(x.dtype),
+            params["conv_shortcut"]["bias"],
+        )
+        out, stats_out = gn_silu_conv3x3_stats(
+            y1, a2, b2, k2, params["conv2"]["bias"], x, proj=proj,
+            force_xla=force_xla,
+        )
+    else:
+        out, stats_out = gn_silu_conv3x3_stats(
+            y1, a2, b2, k2, params["conv2"]["bias"], x, force_xla=force_xla
+        )
     return out, stats_out

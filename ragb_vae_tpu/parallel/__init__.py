@@ -21,6 +21,11 @@ from ragb_vae_tpu.parallel.sharding import (
     shard_tree,
     zero_sharding,
 )
+from ragb_vae_tpu.parallel.zero_step import (
+    init_zero2_state,
+    make_zero2_train_step,
+    zero2_optimizer,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -36,4 +41,7 @@ __all__ = [
     "shard_tree",
     "split_microbatches",
     "zero_sharding",
+    "init_zero2_state",
+    "make_zero2_train_step",
+    "zero2_optimizer",
 ]

@@ -102,3 +102,51 @@ def prune_checkpoints(base: Union[str, Path], keep_last: int) -> int:
         shutil.rmtree(stale)
         removed += 1
     return removed
+
+
+class AsyncCheckpointWriter:
+    """Background-thread checkpoint writer: serialization + file IO happen
+    on a worker thread while the training loop keeps stepping (orbax
+    AsyncCheckpointer's overlap, kept on OUR on-disk layout — the
+    HF-format dir the reference's tooling and `from_pretrained` consumers
+    require; orbax's own format would break that contract).
+
+    The device->host snapshot happens SYNCHRONOUSLY in `submit`: the
+    training step donates its params/opt_state buffers, so a worker-side
+    `device_get` would race buffer reuse and read deleted arrays (observed
+    as a failed save on the donated step path). One save in flight at a
+    time: a new submit waits for the previous write (bounded memory — at
+    most one host copy queued). Always `wait()` (or use as a context
+    manager) before reading the checkpoint or exiting; worker errors
+    surface at the next submit/wait."""
+
+    def __init__(self) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
+        self._pending = None
+
+    def submit(self, directory: Union[str, Path], **save_kwargs) -> None:
+        """Queue `save_train_checkpoint(directory, **save_kwargs)`."""
+        self.wait()
+        # snapshot device arrays to host NOW (donation safety); the worker
+        # then only serializes and writes
+        for key in ("params", "opt_state"):
+            if save_kwargs.get(key) is not None:
+                save_kwargs[key] = jax.device_get(save_kwargs[key])
+        self._pending = self._pool.submit(
+            save_train_checkpoint, directory, **save_kwargs
+        )
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) lands; re-raise errors."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
+    def __enter__(self) -> "AsyncCheckpointWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.wait()
+        self._pool.shutdown(wait=True)

@@ -413,17 +413,24 @@ def evaluate_rgba_vae(
 # ---------------------------------------------------------------------------
 # Checkpoints (parity with save_checkpoints, :875-893, plus real resume)
 # ---------------------------------------------------------------------------
-def save_checkpoints(model: RgbaVAE, params, cfg: Dict[str, Any], *, step=None, opt_state=None):
+def save_checkpoints(
+    model: RgbaVAE, params, cfg: Dict[str, Any], *, step=None, opt_state=None,
+    writer: Optional[ckpt_lib.AsyncCheckpointWriter] = None,
+):
     train_cfg = cfg.get("training", {})
     ckpt_dir = Path(train_cfg.get("ckpt_dir", "checkpoints"))
     target = ckpt_lib.checkpoint_dir(ckpt_dir, step)
-    ckpt_lib.save_train_checkpoint(
-        target,
+    kwargs = dict(
         config=model.config,
         params=params,
         opt_state=opt_state,
         step=step or 0,
     )
+    if writer is not None:
+        # d2h + file IO overlap the next training steps (async_checkpoint)
+        writer.submit(target, **kwargs)
+    else:
+        ckpt_lib.save_train_checkpoint(target, **kwargs)
     keep_last = int(train_cfg.get("ckpt_keep_last", 0) or 0)
     if keep_last > 0:
         removed = ckpt_lib.prune_checkpoints(ckpt_dir, keep_last)
@@ -568,17 +575,56 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
         except Exception as exc:
             print(f"[RGBA-VAE] dataloader preview failed: {exc}")
 
-    opt_state = init_train_state(model, params, tx, mesh=mesh)
-    train_step = make_train_step(
-        model,
-        tx,
-        loss_cfg,
-        step_cfg,
-        mesh=mesh,
-        ref_params=ref_params,
-        lpips_fn=lpips_fn,
-        opt_state_example=jax.eval_shape(tx.init, params),
-    )
+    # zero_impl: "gspmd" (default — sharding annotations, XLA picks the
+    # collectives) or "shard_map" (explicit reduce-scatter / per-shard
+    # AdamW / all-gather, the literal DeepSpeed ZeRO-2 dataflow;
+    # parallel/zero_step.py). Numerics match; shard_map is auditable.
+    zero_impl = str(train_cfg.get("zero_impl", "gspmd")).lower()
+    if zero_impl == "shard_map":
+        from functools import partial as _partial
+
+        from ragb_vae_tpu.parallel import init_zero2_state, make_zero2_train_step
+        from ragb_vae_tpu.parallel.zero_step import zero2_optimizer
+        from ragb_vae_tpu.training.vae_step import vae_loss_fn
+
+        if step_cfg.gradient_accumulation_steps != 1:
+            raise ValueError(
+                "zero_impl: shard_map does not implement gradient accumulation;"
+                " use the default gspmd implementation."
+            )
+        z_tx = zero2_optimizer(lr, betas=(0.5, 0.9))
+        loss_for_zero = _partial(
+            vae_loss_fn,
+            model=model,
+            loss_cfg=loss_cfg,
+            step_cfg=step_cfg,
+            ref_params=ref_params,
+            lpips_fn=lpips_fn,
+        )
+
+        def _zero_loss(p, batch, key):
+            total, metrics = loss_for_zero(p, batch, key)
+            return total, metrics
+
+        opt_state = init_zero2_state(params, z_tx, mesh)
+        train_step = make_zero2_train_step(
+            _zero_loss,
+            z_tx,
+            mesh,
+            max_grad_norm=float(max_grad_norm) if max_grad_norm is not None else None,
+        )
+    else:
+        opt_state = init_train_state(model, params, tx, mesh=mesh)
+        train_step = make_train_step(
+            model,
+            tx,
+            loss_cfg,
+            step_cfg,
+            mesh=mesh,
+            ref_params=ref_params,
+            lpips_fn=lpips_fn,
+            opt_state_example=jax.eval_shape(tx.init, params),
+        )
     eval_step = make_eval_step(model, mesh=mesh) if val_loader is not None else None
 
     global_step = 0
@@ -603,6 +649,13 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
     log_every = int(train_cfg.get("log_every", 50))
     nan_check_every = int(train_cfg.get("nan_check_every", log_every))
     ckpt_every_steps = int(train_cfg.get("ckpt_every_steps", 0) or 0)
+    # async_checkpoint (default on): periodic saves hand device arrays to a
+    # worker thread; d2h + file IO overlap training (checkpoint.py)
+    ckpt_writer = (
+        ckpt_lib.AsyncCheckpointWriter()
+        if bool(train_cfg.get("async_checkpoint", True)) and ckpt_every_steps > 0
+        else None
+    )
     val_every_steps = int(train_cfg.get("val_every_steps", 500))
     background_sample_prob = float(data_cfg.get("background_sample_prob", 0.0))
     max_steps = train_cfg.get("max_steps")
@@ -708,7 +761,10 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
                     performed_validation = True
 
                 if ckpt_every_steps > 0 and global_step % ckpt_every_steps == 0:
-                    save_checkpoints(model, params, cfg, step=global_step, opt_state=opt_state)
+                    save_checkpoints(
+                        model, params, cfg, step=global_step,
+                        opt_state=opt_state, writer=ckpt_writer,
+                    )
 
                 if max_steps is not None and global_step - start_step >= int(max_steps):
                     raise StopIteration
@@ -733,6 +789,8 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
             )
         )
 
+    if ckpt_writer is not None:
+        ckpt_writer.wait()  # drain any in-flight periodic save first
     save_checkpoints(model, params, cfg, step=global_step, opt_state=opt_state)
     last_metrics["global_step"] = float(global_step)
     return last_metrics

@@ -141,6 +141,44 @@ def test_fused_block_chained_stats():
     np.testing.assert_allclose(np.asarray(y2), np.asarray(ref), rtol=1e-3, atol=1e-3)
 
 
+def test_identity_activation_bare_conv():
+    """fused_conv3x3_stats == plain conv3x3 + bias (the Upsample conv)."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 8, 128, 128)), jnp.float32)
+    wk = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(128) * 0.1, jnp.float32)
+    y, stats = rb.fused_conv3x3_stats(x, wk, bias)
+    ref = jax.lax.conv_general_dilated(
+        x, wk, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + bias[None, None, None, :]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(stats), np.asarray(rb.tensor_stats(ref)), rtol=1e-3, atol=1e-1
+    )
+
+
+def test_projected_skip_grads_match():
+    """Gradients through the IN-KERNEL 1x1 shortcut (x, ws, wsb)."""
+    rng = np.random.default_rng(13)
+    c_in, c_out = 256, 128
+    x = jnp.asarray(rng.standard_normal((1, 8, 128, c_in)), jnp.float32)
+    p = _block_params(c_in, c_out)
+
+    def loss_fused(x_, ks_):
+        p_ = {**p, "conv_shortcut": {**p["conv_shortcut"], "kernel": ks_}}
+        out, _ = rb.fused_resnet_block(x_, p_, num_groups=32)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(x_, ks_):
+        p_ = {**p, "conv_shortcut": {**p["conv_shortcut"], "kernel": ks_}}
+        return jnp.sum(_ref_block(x_, p_) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(x, p["conv_shortcut"]["kernel"])
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(x, p["conv_shortcut"]["kernel"])
+    for ours, ref in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=1e-3)
+
+
 def test_block_grads_match():
     rng = np.random.default_rng(9)
     c = 128

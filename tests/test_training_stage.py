@@ -187,6 +187,30 @@ def test_train_rgba_vae_end_to_end(tiny_ckpt, data_tree, tmp_path):
     assert list((tmp_path / "val").glob("val_recon_*.png"))
 
 
+def test_train_rgba_vae_shard_map_zero2(tiny_ckpt, data_tree, tmp_path):
+    """The explicit-collective ZeRO-2 step drives the full stage."""
+    cfg = _make_cfg(
+        tiny_ckpt, data_tree, tmp_path, zero_impl="shard_map",
+        run_validation=False, max_steps=2,
+    )
+    metrics = train_rgba_vae(cfg)
+    assert np.isfinite(metrics["train/loss"])
+    assert metrics["global_step"] == 2.0
+
+
+def test_train_rgba_vae_async_periodic_checkpoints(tiny_ckpt, data_tree, tmp_path):
+    """Periodic saves through the AsyncCheckpointWriter land on disk."""
+    cfg = _make_cfg(
+        tiny_ckpt, data_tree, tmp_path, ckpt_every_steps=1, max_steps=2,
+        run_validation=False, async_checkpoint=True,
+    )
+    train_rgba_vae(cfg)
+    for step in (1, 2):
+        d = tmp_path / "ckpts" / f"step_{step:07d}"
+        assert (d / "rgba_vae_hf" / "config.json").exists(), step
+        assert (d / "train_state.msgpack").exists(), step
+
+
 def test_train_rgba_vae_resume(tiny_ckpt, data_tree, tmp_path):
     cfg = _make_cfg(tiny_ckpt, data_tree, tmp_path, max_steps=2, run_validation=False)
     train_rgba_vae(cfg)
