@@ -199,7 +199,7 @@ def main() -> None:
     parser.add_argument("--size", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
-    parser.add_argument("--batches", type=int, nargs="*", default=[4, 2, 1])
+    parser.add_argument("--batches", type=int, nargs="*", default=[8, 4, 1])
     parser.add_argument(
         "--metric",
         choices=["throughput", "psnr_delta", "train_step"],
@@ -215,12 +215,12 @@ def main() -> None:
     parser.add_argument("--tile", type=int, default=0,
                         help="train_step mode: VAE tile size (0 = no tiling)")
     parser.add_argument(
-        "--fused",
+        "--no-fused",
         action="store_true",
-        help="throughput mode: whole-resnet-block Pallas kernels instead of "
-        "per-sample-sliced XLA. The kernels beat XLA 2-3x in isolation "
-        "(benchmarks/results.md) but currently trail it e2e — keep the "
-        "sliced path as the headline until the gap is closed.",
+        help="throughput mode: fall back to per-sample-sliced XLA instead of "
+        "the whole-resnet-block Pallas kernels. Fused is the default and the "
+        "batched fast path (8.45 img/s b8 vs 8.36 sliced at 1024^2, "
+        "benchmarks/results.md); sliced remains best at batch 1.",
     )
     args = parser.parse_args()
 
@@ -247,7 +247,7 @@ def main() -> None:
     config = AutoencoderConfig.flux()
     config.in_channels = 4
     config.out_channels = 4
-    fused = args.fused
+    fused = not args.no_fused
     model = RgbaVAE(config=config, dtype=jnp.bfloat16, fused=fused)
     if not fused:
         # round-1 fast path: per-sample slicing (lax.map) works around the
