@@ -366,10 +366,20 @@ def _flash_fwd(q, k, v, sm_scale, block_q, block_k):
 
 def _flash_bwd(sm_scale, block_q, block_k, residuals, g):
     q, k, v, out, lse = residuals
-    dq, dk, dv = flash_attention_bwd_3d(
-        q, k, v, out, lse, g, sm_scale=sm_scale, block_q=block_q, block_k=block_k
+    # Routing (measured, benchmarks/flash_bwd_bench.py): the fused kernels
+    # win 2.4x at transformer head dims (d=128: 8.8 vs 21.0 ms fwd+bwd on
+    # the Flux-DiT shape) but LOSE at the VAE mid-block's single 512-dim
+    # head, where XLA's dense K=512 GEMMs through the chunked recompute
+    # run at 166 TF/s. Use the kernels for d < 384, recompute above.
+    if q.shape[-1] < 384:
+        dq, dk, dv = flash_attention_bwd_3d(
+            q, k, v, out, lse, g, sm_scale=sm_scale, block_q=block_q, block_k=block_k
+        )
+        return dq, dk, dv
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: chunked_attention_3d(q_, k_, v_, sm_scale=sm_scale), q, k, v
     )
-    return dq, dk, dv
+    return vjp(g)
 
 
 _flash_attention_3d.defvjp(_flash_fwd, _flash_bwd)
