@@ -77,6 +77,29 @@ def _group_norm(num_groups: int, name: str, dtype=jnp.float32) -> "FastGroupNorm
     return FastGroupNorm(num_groups=num_groups, epsilon=1e-6, dtype=dtype, name=name)
 
 
+def _stats_group_norm(x: Array, stats, num_groups: int, name: str, dtype) -> Array:
+    """conv_norm_out, optionally seeded by a fused-kernel stats epilogue.
+
+    With `stats` (the (B, 2, C) per-channel sum/sumsq the previous fused
+    kernel emitted for free), GroupNorm collapses to ONE fused
+    multiply-add — saving the full-resolution stats read FastGroupNorm
+    would issue (a 2.1 GB pass at 1024^2 batch 8 on the decoder output).
+    Identical coefficient math (fp32 stats -> a, b -> compute-dtype FMA);
+    params are declared under the same name either way, so the param tree
+    is unchanged. stats=None (non-fused path / broken chain) falls back
+    to the plain FastGroupNorm."""
+    if stats is None:
+        return _group_norm(num_groups, name, dtype)(x)
+    from ragb_vae_tpu.ops.pallas.resnet_block import stats_to_coeffs
+
+    b, h, w, c = x.shape
+    scale, bias = _GNParams(c, name=name)()
+    a, bcoef = stats_to_coeffs(stats, scale, bias, num_groups, h * w)
+    a = a.reshape(b, 1, 1, c).astype(dtype)
+    bcoef = bcoef.reshape(b, 1, 1, c).astype(dtype)
+    return x.astype(dtype) * a + bcoef
+
+
 class Conv3x3(nn.Module):
     """3x3 stride-1 SAME conv via the Pallas implicit-GEMM kernel
     (ops/pallas/conv3x3.py) with automatic fallback. NOT wired into the
@@ -381,7 +404,7 @@ class MidBlock(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array):
         x, stats = ResnetBlock(
             self.channels, self.num_groups, self.dtype, self.fused, name="resnets_0"
         )(x)
@@ -392,10 +415,10 @@ class MidBlock(nn.Module):
                 name="attention",
             )(x)
             stats = None
-        x, _ = ResnetBlock(
+        x, stats = ResnetBlock(
             self.channels, self.num_groups, self.dtype, self.fused, name="resnets_1"
         )(x, stats)
-        return x
+        return x, stats
 
 
 class Encoder(nn.Module):
@@ -421,7 +444,7 @@ class Encoder(nn.Module):
                 )(x, stats)
             if i < n_blocks - 1:
                 x = Downsample(out_ch, self.dtype, name=f"down_blocks_{i}_downsample")(x)
-        x = MidBlock(
+        x, mid_stats = MidBlock(
             cfg.block_out_channels[-1],
             cfg.norm_num_groups,
             cfg.mid_block_add_attention,
@@ -429,7 +452,10 @@ class Encoder(nn.Module):
             self.fused,
             name="mid_block",
         )(x)
-        x = _group_norm(cfg.norm_num_groups, "conv_norm_out", self.dtype)(x)
+        x = _stats_group_norm(
+            x, mid_stats if self.fused else None, cfg.norm_num_groups,
+            "conv_norm_out", self.dtype,
+        )
         x = nn.silu(x).astype(self.dtype)
         x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         return x
@@ -449,7 +475,7 @@ class Decoder(nn.Module):
         z = nn.Conv(reversed_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(
             z.astype(self.dtype)
         )
-        z = MidBlock(
+        z, stats = MidBlock(
             reversed_channels[0],
             cfg.norm_num_groups,
             cfg.mid_block_add_attention,
@@ -458,7 +484,6 @@ class Decoder(nn.Module):
             name="mid_block",
         )(z)
         n_blocks = len(reversed_channels)
-        stats = None  # mid-block invalidates the chain
         for i, out_ch in enumerate(reversed_channels):
             for j in range(cfg.layers_per_block + 1):
                 z, stats = block(
@@ -471,7 +496,10 @@ class Decoder(nn.Module):
                     out_ch, self.dtype, fused=self.fused,
                     name=f"up_blocks_{i}_upsample",
                 )(z)
-        z = _group_norm(cfg.norm_num_groups, "conv_norm_out", self.dtype)(z)
+        z = _stats_group_norm(
+            z, stats if self.fused else None, cfg.norm_num_groups,
+            "conv_norm_out", self.dtype,
+        )
         z = nn.silu(z).astype(self.dtype)
         z = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(z)
         return z
