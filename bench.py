@@ -219,7 +219,7 @@ def main() -> None:
         action="store_true",
         help="throughput mode: fall back to per-sample-sliced XLA instead of "
         "the whole-resnet-block Pallas kernels. Fused is the default and the "
-        "batched fast path (8.45 img/s b8 vs 8.36 sliced at 1024^2, "
+        "batched fast path (8.48 img/s b8 vs 8.36 sliced at 1024^2, "
         "benchmarks/results.md); sliced remains best at batch 1.",
     )
     args = parser.parse_args()
