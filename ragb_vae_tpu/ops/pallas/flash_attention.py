@@ -364,6 +364,11 @@ def _flash_fwd(q, k, v, sm_scale, block_q, block_k):
     return out, (q, k, v, out, lse)
 
 
+# "auto": fused bwd kernels for d<384, chunked recompute above (measured
+# routing); "recompute": always the round-1 recompute VJP (benchmarking).
+BACKWARD = "auto"
+
+
 def _flash_bwd(sm_scale, block_q, block_k, residuals, g):
     q, k, v, out, lse = residuals
     # Routing (measured, benchmarks/flash_bwd_bench.py): the fused kernels
@@ -371,7 +376,7 @@ def _flash_bwd(sm_scale, block_q, block_k, residuals, g):
     # the Flux-DiT shape) but LOSE at the VAE mid-block's single 512-dim
     # head, where XLA's dense K=512 GEMMs through the chunked recompute
     # run at 166 TF/s. Use the kernels for d < 384, recompute above.
-    if q.shape[-1] < 384:
+    if BACKWARD != "recompute" and q.shape[-1] < 384:
         dq, dk, dv = flash_attention_bwd_3d(
             q, k, v, out, lse, g, sm_scale=sm_scale, block_q=block_q, block_k=block_k
         )
