@@ -245,12 +245,15 @@ class Upsample(nn.Module):
     def __call__(self, x: Array):
         b, h, w, c = x.shape
         if self.fused:
-            from ragb_vae_tpu.ops.pallas.resnet_block import fused_conv3x3_stats
+            from ragb_vae_tpu.ops.pallas.resnet_block import (
+                fused_upsample_conv3x3_stats,
+            )
 
             kernel, bias = _Conv3x3Params(self.out_channels, c, name="conv")()
-            up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-            return fused_conv3x3_stats(
-                up.astype(self.dtype), kernel.astype(self.dtype), bias
+            # subpixel kernel: reads the SMALL tensor (no 4x intermediate),
+            # 2.25x fewer FLOPs; these are the decoder's biggest convs
+            return fused_upsample_conv3x3_stats(
+                x.astype(self.dtype), kernel.astype(self.dtype), bias
             )
         if not self.fast:
             up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)

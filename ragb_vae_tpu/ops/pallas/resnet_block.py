@@ -228,6 +228,185 @@ def _kernel(
     stats_ref[0] = acc_ref[:]
 
 
+def _subpixel_kernel(
+    x_hbm,
+    w_ref,
+    bias_ref,
+    out_ref,
+    stats_ref,
+    xbuf,
+    awide,
+    pbuf,
+    acc_ref,
+    sems,
+    *,
+    tile_h: int,
+    width: int,
+    n_tiles: int,
+):
+    """Nearest-2x upsample + conv3x3 in SUBPIXEL form: each output parity
+    (a, b) is a 2x2 conv on the SMALL grid with re-associated weights
+    (taps landing in the same 2x2 source cell sum — exactly models/vae.py
+    Upsample.fast, proven against the literal path), so the kernel reads
+    the SMALL input and never materializes the 4x-upsampled tensor, at
+    2.25x fewer MXU FLOPs than the literal conv3x3. These are the
+    decoder's three most expensive convs (~25% of model FLOPs at 1024^2).
+
+    The four parity outputs interleave for FREE: columns by declaring the
+    output array (B, 2H, W, 2N) — bit-identical linear layout to the NHWC
+    (B, 2H, 2W, N) the caller reshapes to — with the two column parities
+    concatenated on the channel (lane) axis; rows by a leading-dim
+    stack+reshape. The existing 3-column-shift patch buffer provides all
+    four parities' 2x2 patches as CONTIGUOUS (row-span, channel-slice)
+    views: parity rows a use spans [a, a+tile), [a+1, a+1+tile); parity
+    cols b use channel slices [bC, (b+2)C). w_ref: (2, 2, 2, 2C, N)
+    folded weights indexed [a, b, u'] (the fold differs per parity).
+    """
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    n_b = pl.num_programs(0)
+    slot = (bi * n_tiles + hi) % 2
+
+    def slab_dma(b_idx, h_idx, into_slot):
+        if n_tiles == 1:
+            yield None, pltpu.make_async_copy(
+                x_hbm.at[b_idx, pl.ds(0, tile_h), :, :],
+                xbuf.at[into_slot, pl.ds(1, tile_h), pl.ds(8, width), :],
+                sems.at[into_slot],
+            )
+            return
+        h0 = h_idx * tile_h
+        if n_tiles > 2:
+            yield (
+                jnp.logical_and(h_idx > 0, h_idx < n_tiles - 1),
+                pltpu.make_async_copy(
+                    x_hbm.at[b_idx, pl.ds(h0 - 1, tile_h + 2), :, :],
+                    xbuf.at[into_slot, pl.ds(0, tile_h + 2), pl.ds(8, width), :],
+                    sems.at[into_slot],
+                ),
+            )
+        yield h_idx == 0, pltpu.make_async_copy(
+            x_hbm.at[b_idx, pl.ds(0, tile_h + 1), :, :],
+            xbuf.at[into_slot, pl.ds(1, tile_h + 1), pl.ds(8, width), :],
+            sems.at[into_slot],
+        )
+        yield h_idx == n_tiles - 1, pltpu.make_async_copy(
+            x_hbm.at[b_idx, pl.ds(h0 - 1, tile_h + 1), :, :],
+            xbuf.at[into_slot, pl.ds(0, tile_h + 1), pl.ds(8, width), :],
+            sems.at[into_slot],
+        )
+
+    def start_slab(b_idx, h_idx, into_slot):
+        for cond, dma in slab_dma(b_idx, h_idx, into_slot):
+            if cond is None:
+                dma.start()
+            else:
+                pl.when(cond)(dma.start)
+
+    def wait_slab(b_idx, h_idx, into_slot):
+        for cond, dma in slab_dma(b_idx, h_idx, into_slot):
+            if cond is None:
+                dma.wait()
+            else:
+                pl.when(cond)(dma.wait)
+
+    @pl.when(jnp.logical_and(bi == 0, hi == 0))
+    def _warm():
+        start_slab(bi, hi, slot)
+
+    nxt = bi * n_tiles + hi + 1
+
+    @pl.when(nxt < n_b * n_tiles)
+    def _prefetch():
+        start_slab(nxt // n_tiles, nxt % n_tiles, (slot + 1) % 2)
+
+    wait_slab(bi, hi, slot)
+
+    c_in = xbuf.shape[-1]
+    n_out = w_ref.shape[-1]
+
+    awide[:] = xbuf[slot]
+    awide[:, 7, :] = jnp.zeros_like(awide[:, 7, :])
+    awide[:, 8 + width, :] = jnp.zeros_like(awide[:, 8 + width, :])
+
+    @pl.when(hi == 0)
+    def _zero_top():
+        awide[0] = jnp.zeros_like(awide[0])
+
+    @pl.when(hi == n_tiles - 1)
+    def _zero_bottom():
+        awide[tile_h + 1] = jnp.zeros_like(awide[tile_h + 1])
+
+    for v in range(3):
+        pbuf[:, :, v * c_in : (v + 1) * c_in] = awide[:, 7 + v : 7 + v + width, :]
+
+    rows = []
+    for a in range(2):
+        cols = []
+        for b in range(2):
+            acc = jnp.zeros((tile_h * width, n_out), jnp.float32)
+            for u in range(2):
+                patch = pbuf[a + u : a + u + tile_h, :, b * c_in : (b + 2) * c_in]
+                acc = acc + jax.lax.dot_general(
+                    patch.reshape(tile_h * width, 2 * c_in),
+                    w_ref[a, b, u],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            cols.append(acc + bias_ref[:][None, :])
+        # column parities concatenated on the lane axis == interleaved cols
+        rows.append(
+            jnp.concatenate(cols, axis=-1).reshape(tile_h, width, 2 * n_out)
+        )
+    # row parities interleave on the leading axis (free rearrange)
+    y = jnp.stack(rows, axis=1).reshape(2 * tile_h, width, 2 * n_out)
+    y_store = y.astype(out_ref.dtype)
+    out_ref[0] = y_store
+
+    # stats: true per-channel (sum, sumsq) over N = both column parities
+    yf = y_store.astype(jnp.float32).reshape(2 * tile_h * width, 2, n_out)
+    part = jnp.stack(
+        [jnp.sum(yf, axis=(0, 1)), jnp.sum(jnp.square(yf), axis=(0, 1))]
+    )
+
+    @pl.when(hi == 0)
+    def _reset():
+        acc_ref[:] = part
+
+    @pl.when(hi > 0)
+    def _accum():
+        acc_ref[:] = acc_ref[:] + part
+
+    stats_ref[0] = acc_ref[:]
+
+
+def _fold_subpixel_weights(w: Array) -> Array:
+    """(3, 3, C, N) conv3x3 -> (2, 2, 2, 2C, N) subpixel kernels [a, b, u'].
+
+    Same re-association as models/vae.py Upsample.fast (tested against
+    the literal nearest+conv3x3 there): row parity a=0 folds rows
+    (W0 | W1+W2), a=1 (W0+W1 | W2); column parity b=0 folds (V0 | V1+V2)
+    over small cols (c'-1, c'), b=1 (V0+V1 | V2) over (c', c'+1) — the
+    kernel's patch slice [bC:(b+2)C] supplies exactly those two columns.
+    The two column taps flatten v-major into the K=2C contraction."""
+    c_in, n_out = w.shape[2], w.shape[3]
+    r = [
+        jnp.stack([w[0], w[1] + w[2]], axis=0),          # a=0: rows r'-1, r'
+        jnp.stack([w[0] + w[1], w[2]], axis=0),          # a=1: rows r', r'+1
+    ]
+    out = []
+    for a in range(2):
+        per_b = []
+        for b in range(2):
+            if b == 0:
+                k = jnp.stack([r[a][:, 0], r[a][:, 1] + r[a][:, 2]], axis=1)
+            else:
+                k = jnp.stack([r[a][:, 0] + r[a][:, 1], r[a][:, 2]], axis=1)
+            per_b.append(k.reshape(2, 2 * c_in, n_out))   # [u', v*C -> 2C, N]
+        out.append(jnp.stack(per_b, axis=0))
+    return jnp.stack(out, axis=0)  # (2, 2, 2, 2C, N)
+
+
 def _pick_tile_h(height: int, width: int, c_in: int, n_out: int, itemsize: int, c_skip=None):
     """Largest tile_h whose VMEM footprint fits the budget."""
     for tile_h in (32, 16, 8, 4):
@@ -496,6 +675,156 @@ def tensor_stats(x: Array) -> Array:
     the first fused block after a non-fused producer."""
     xf = x.astype(jnp.float32)
     return jnp.stack([jnp.sum(xf, axis=(1, 2)), jnp.sum(jnp.square(xf), axis=(1, 2))], axis=1)
+
+
+# the interleave (concat + stack + cast + stats re-read) makes Mosaic's
+# stack allocation hard to model exactly; measured ~1.6x the naive sum at
+# (128, 512) — budget tiles conservatively and set the limit with slack
+SUBPIXEL_TILE_BUDGET = 55 * 1024 * 1024
+
+
+def _subpixel_vmem_bytes(tile_h, width, c_in, n_out, itemsize):
+    return (
+        2 * (tile_h + 2) * (width + 16) * c_in * itemsize  # xbuf x2
+        + (tile_h + 2) * (width + 16) * c_in * itemsize    # awide
+        + (tile_h + 2) * width * 3 * c_in * itemsize       # pbuf
+        + 4 * tile_h * width * n_out * 4                   # four fp32 accumulators
+        + 4 * tile_h * width * 2 * n_out * 4               # interleave transients
+        + 8 * 2 * c_in * n_out * itemsize                  # folded weights
+        + 4 * tile_h * width * 2 * n_out * itemsize        # out (2x buffered)
+    )
+
+
+def _xla_upsample_conv(x, w, bias):
+    """Literal nearest-2x + conv3x3 (+ stats) — fallback and VJP replay."""
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    y = lax.conv_general_dilated(
+        up, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + bias.astype(jnp.float32)[None, None, None, :]
+    y = y.astype(x.dtype)
+    yf = y.astype(jnp.float32)
+    stats = jnp.stack(
+        [jnp.sum(yf, axis=(1, 2)), jnp.sum(jnp.square(yf), axis=(1, 2))], axis=1
+    )
+    return y, stats
+
+
+def _subpixel_fwd_impl(x, w, bias, tile_h):
+    bsz, height, width, c_in = x.shape
+    n_out = w.shape[-1]
+    itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+    if tile_h is None:
+        tile_h = None
+        for cand in (32, 16, 8, 4):
+            if height % cand == 0 and _subpixel_vmem_bytes(
+                cand, width, c_in, n_out, itemsize
+            ) <= SUBPIXEL_TILE_BUDGET:
+                tile_h = cand
+                break
+    vmem = _subpixel_vmem_bytes(tile_h, width, c_in, n_out, itemsize)
+    # fold in fp32: summing re-associated taps in bf16 costs ~4x the
+    # output error of the fp32 fold (measured on-chip)
+    w_fold = _fold_subpixel_weights(w.astype(jnp.float32)).astype(x.dtype)
+    kernel = functools.partial(
+        _subpixel_kernel, tile_h=tile_h, width=width, n_tiles=height // tile_h
+    )
+    y, stats = pl.pallas_call(
+        kernel,
+        grid=(bsz, height // tile_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (2, 2, 2, 2 * c_in, n_out),
+                lambda bi, hi: (0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 2 * tile_h, width, 2 * n_out),
+                lambda bi, hi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 2, n_out), lambda bi, hi: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            # (B, 2H, W, 2N) is bit-identical NHWC linear layout to
+            # (B, 2H, 2W, N): adjacent column pair == channel halves
+            jax.ShapeDtypeStruct((bsz, 2 * height, width, 2 * n_out), x.dtype),
+            jax.ShapeDtypeStruct((bsz, 2, n_out), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2, width + 16, c_in), x.dtype),
+            pltpu.VMEM((tile_h + 2, width + 16, c_in), x.dtype),
+            pltpu.VMEM((tile_h + 2, width, 3 * c_in), x.dtype),
+            pltpu.VMEM((2, n_out), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem * 2.2) + (2 << 20), 127 * 1024 * 1024),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 16 * bsz * height * width * c_in * n_out,
+            bytes_accessed=(x.size + 4 * x.size * n_out // c_in) * itemsize,
+            transcendentals=0,
+        ),
+        interpret=INTERPRET,
+    )(x, w_fold, bias)
+    return y.reshape(bsz, 2 * height, 2 * width, n_out), stats
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _subpixel_chain(x, w, bias, tile_h):
+    return _subpixel_fwd_impl(x, w, bias, tile_h)
+
+
+def _subpixel_fwd(x, w, bias, tile_h):
+    return _subpixel_fwd_impl(x, w, bias, tile_h), (x, w, bias)
+
+
+def _subpixel_bwd(tile_h, residuals, g):
+    x, w, bias = residuals
+    _, vjp = jax.vjp(_xla_upsample_conv, x, w, bias)
+    return vjp(g)
+
+
+_subpixel_chain.defvjp(_subpixel_fwd, _subpixel_bwd)
+
+
+def fused_upsample_conv3x3_stats(
+    x: Array, w: Array, bias: Array, *, force_xla: bool = False
+) -> Tuple[Array, Array]:
+    """Nearest-2x upsample + conv3x3 + bias with the stats epilogue.
+
+    On TPU (aligned shapes) runs the subpixel kernel: reads the SMALL
+    tensor, 2.25x fewer FLOPs, no upsampled intermediate in HBM. Matches
+    diffusers Upsample2D numerics (weight re-association only)."""
+    bsz, height, width, c_in = x.shape
+    n_out = w.shape[-1]
+    on_tpu = False
+    try:
+        on_tpu = jax.default_backend() == "tpu" or INTERPRET
+    except Exception:
+        pass
+    itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+    picked = None
+    for cand in (32, 16, 8, 4):
+        if height % cand == 0 and _subpixel_vmem_bytes(
+            cand, width, c_in, n_out, itemsize
+        ) <= SUBPIXEL_TILE_BUDGET:
+            picked = cand
+            break
+    aligned = (
+        picked is not None
+        and width % 8 == 0
+        and c_in % 128 == 0
+        and n_out % 128 == 0
+    )
+    if force_xla or not on_tpu or not aligned:
+        return _xla_upsample_conv(x, w, bias)
+    return _subpixel_chain(x, w, bias, picked)
 
 
 def fused_conv3x3_stats(
