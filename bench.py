@@ -26,7 +26,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def psnr_delta_mode(size: int) -> None:
+def psnr_delta_mode(size: int, fused: bool = False) -> None:
     """Secondary metric: reconstruction-PSNR delta between the JAX bf16 VAE
     and an independent fp32 torch restatement of AutoencoderKL on identical
     weights (BASELINE.json: <=0.1 dB target). Deterministic (posterior mode)."""
@@ -48,7 +48,7 @@ def psnr_delta_mode(size: int) -> None:
     config.out_channels = 4
     state = make_state(config, seed=0)
     params = torch_state_to_flax_params(state)
-    model = RgbaVAE(config=config, dtype=jnp.bfloat16)
+    model = RgbaVAE(config=config, dtype=jnp.bfloat16, fused=fused)
 
     rng = np.random.default_rng(0)
     x = rng.random((1, size, size, 4)).astype(np.float32)
@@ -219,13 +219,13 @@ def main() -> None:
         action="store_true",
         help="throughput mode: fall back to per-sample-sliced XLA instead of "
         "the whole-resnet-block Pallas kernels. Fused is the default and the "
-        "batched fast path (8.48 img/s b8 vs 8.36 sliced at 1024^2, "
+        "batched fast path (9.30 img/s b8 vs 8.36 sliced at 1024^2, "
         "benchmarks/results.md); sliced remains best at batch 1.",
     )
     args = parser.parse_args()
 
     if args.metric == "psnr_delta":
-        psnr_delta_mode(min(args.size, 256))
+        psnr_delta_mode(min(args.size, 256), fused=not args.no_fused)
         return
     if args.metric == "train_step":
         train_step_mode(

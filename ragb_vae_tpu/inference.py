@@ -64,10 +64,13 @@ def run(args: argparse.Namespace) -> None:
     )
     if args.lora_path:
         t_params = model.load_lora(t_params, args.lora_path)
-    # single-chip fast path: per-sample VAE slicing (benchmarks/results.md;
-    # the fused whole-block kernels win in isolation but not yet e2e —
-    # model.vae.enable_fused() once they do)
-    model.vae.enable_slicing()
+    # single-chip fast path: fused whole-block kernels on TPU (faster than
+    # per-sample slicing at every batch since the subpixel-upsample kernel,
+    # benchmarks/results.md); sliced XLA elsewhere
+    if jax.default_backend() == "tpu":
+        model.vae.enable_fused()
+    else:
+        model.vae.enable_slicing()
 
     inp = load_rgba(args.input_image)[None]  # (1, H, W, 4) in [0, 1]
     key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
