@@ -199,7 +199,7 @@ def main() -> None:
     parser.add_argument("--size", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
-    parser.add_argument("--batches", type=int, nargs="*", default=[8, 4, 1])
+    parser.add_argument("--batches", type=int, nargs="*", default=[12, 8, 1])
     parser.add_argument(
         "--metric",
         choices=["throughput", "psnr_delta", "train_step"],
