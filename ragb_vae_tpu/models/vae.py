@@ -199,14 +199,32 @@ class ResnetBlock(nn.Module):
 
 
 class Downsample(nn.Module):
-    """Stride-2 conv with the asymmetric (0,1)x(0,1) pad diffusers uses."""
+    """Stride-2 conv with the asymmetric (0,1)x(0,1) pad diffusers uses.
+
+    fused=True runs the dense-GEMM Pallas kernel (XLA's stride-2 conv
+    emitter measures ~32 TF/s on these shapes) and returns epilogue stats
+    so the next level's first fused block skips its GN1 stats pass;
+    __call__ then returns (y, stats)."""
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        return nn.Conv(
+    def __call__(self, x: Array):
+        if self.fused:
+            from ragb_vae_tpu.ops.pallas.resnet_block import (
+                fused_downsample_conv3x3_stats,
+            )
+
+            c = x.shape[-1]
+            kernel, bias = _ConvParams(
+                (3, 3), self.out_channels, c, name="conv"
+            )()
+            return fused_downsample_conv3x3_stats(
+                x.astype(self.dtype), kernel.astype(self.dtype), bias
+            )
+        y = nn.Conv(
             self.out_channels,
             (3, 3),
             strides=(2, 2),
@@ -214,6 +232,7 @@ class Downsample(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        return y, None
 
 
 class Upsample(nn.Module):
@@ -438,15 +457,19 @@ class Encoder(nn.Module):
             x.astype(self.dtype)
         )
         n_blocks = len(cfg.block_out_channels)
+        stats = None  # conv_in seeds the chain fresh
         for i, out_ch in enumerate(cfg.block_out_channels):
-            stats = None  # downsample/conv_in invalidate the chain
             for j in range(cfg.layers_per_block):
                 x, stats = block(
                     out_ch, cfg.norm_num_groups, self.dtype, self.fused,
                     name=f"down_blocks_{i}_resnets_{j}",
                 )(x, stats)
             if i < n_blocks - 1:
-                x = Downsample(out_ch, self.dtype, name=f"down_blocks_{i}_downsample")(x)
+                # fused Downsample re-seeds the chain from its epilogue
+                x, stats = Downsample(
+                    out_ch, self.dtype, fused=self.fused,
+                    name=f"down_blocks_{i}_downsample",
+                )(x)
         x, mid_stats = MidBlock(
             cfg.block_out_channels[-1],
             cfg.norm_num_groups,

@@ -677,6 +677,283 @@ def tensor_stats(x: Array) -> Array:
     return jnp.stack([jnp.sum(xf, axis=(1, 2)), jnp.sum(jnp.square(xf), axis=(1, 2))], axis=1)
 
 
+def _downsample_kernel(
+    x_hbm,
+    w_ref,
+    bias_ref,
+    out_ref,
+    stats_ref,
+    xbuf,
+    pbuf,
+    acc_ref,
+    sems,
+    *,
+    tile_h: int,
+    width_out: int,
+    n_tiles: int,
+):
+    """conv3x3 stride-2, pad ((0,1),(0,1)) (diffusers Downsample2D) as
+    dense GEMMs — XLA's stride-2 conv emitter runs at ~32 TF/s on these
+    shapes (benchmarks/downsample_probe.py) vs ~110 for dense GEMMs.
+
+    Input arrives pre-viewed as (B, H, W/2, 2C) — a FREE reshape: the NHWC
+    linear layout of adjacent column pairs IS channel-doubling — so the
+    column stride-2 is just channel halves. Row stride-2 is a leading-dim
+    regroup of the slab value ((2T+2, Wp, 2C) -> (T+1, 2, Wp, 2C)); row
+    taps u in {0,1,2} are then (parity, offset) picks. Per u, two
+    pair-shifted copies build a K=4C patch (weights [W_u0; W_u1; W_u2; 0]
+    — 1.33x the 9C MACs, all dense). Stats epilogue seeds the next
+    encoder level's first block (the chain previously broke here)."""
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    n_b = pl.num_programs(0)
+    slot = (bi * n_tiles + hi) % 2
+    c2 = xbuf.shape[-1]  # = 2C
+    n_out = out_ref.shape[-1]
+
+    def slab_dma(b_idx, h_idx, into_slot):
+        # out rows [h0', h0'+T) need input rows [2h0', 2h0'+2T+1); the
+        # last tile's +1 halo row is the bottom zero-pad (H = 2H' exactly)
+        h0 = h_idx * 2 * tile_h
+        if n_tiles == 1:
+            yield None, pltpu.make_async_copy(
+                x_hbm.at[b_idx, pl.ds(0, 2 * tile_h), :, :],
+                xbuf.at[into_slot, pl.ds(0, 2 * tile_h), pl.ds(0, width_out), :],
+                sems.at[into_slot],
+            )
+            return
+        yield h_idx < n_tiles - 1, pltpu.make_async_copy(
+            x_hbm.at[b_idx, pl.ds(h0, 2 * tile_h + 1), :, :],
+            xbuf.at[into_slot, pl.ds(0, 2 * tile_h + 1), pl.ds(0, width_out), :],
+            sems.at[into_slot],
+        )
+        yield h_idx == n_tiles - 1, pltpu.make_async_copy(
+            x_hbm.at[b_idx, pl.ds(h0, 2 * tile_h), :, :],
+            xbuf.at[into_slot, pl.ds(0, 2 * tile_h), pl.ds(0, width_out), :],
+            sems.at[into_slot],
+        )
+
+    def start_slab(b_idx, h_idx, into_slot):
+        for cond, dma in slab_dma(b_idx, h_idx, into_slot):
+            if cond is None:
+                dma.start()
+            else:
+                pl.when(cond)(dma.start)
+
+    def wait_slab(b_idx, h_idx, into_slot):
+        for cond, dma in slab_dma(b_idx, h_idx, into_slot):
+            if cond is None:
+                dma.wait()
+            else:
+                pl.when(cond)(dma.wait)
+
+    @pl.when(jnp.logical_and(bi == 0, hi == 0))
+    def _warm():
+        start_slab(bi, hi, slot)
+
+    nxt = bi * n_tiles + hi + 1
+
+    @pl.when(nxt < n_b * n_tiles)
+    def _prefetch():
+        start_slab(nxt // n_tiles, nxt % n_tiles, (slot + 1) % 2)
+
+    wait_slab(bi, hi, slot)
+
+    # right-pad pair column and (on the last tile) bottom halo row are zero
+    xbuf[slot, :, width_out, :] = jnp.zeros_like(xbuf[slot, :, width_out, :])
+
+    @pl.when(hi == n_tiles - 1)
+    def _zero_bottom():
+        xbuf[slot, 2 * tile_h, :, :] = jnp.zeros_like(xbuf[slot, 2 * tile_h, :, :])
+
+    slab = xbuf[slot]  # (2T+2, Wp, 2C)
+    rows = slab.reshape(tile_h + 1, 2, width_out + 8, c2)
+    # row taps: u=0 -> (r', even), u=1 -> (r', odd), u=2 -> (r'+1, even)
+    sel = [
+        rows[0:tile_h, 0],
+        rows[0:tile_h, 1],
+        rows[1 : tile_h + 1, 0],
+    ]
+    for u in range(3):
+        for s in range(2):
+            pbuf[:, :, (2 * u + s) * c2 : (2 * u + s + 1) * c2] = sel[u][
+                :, s : s + width_out, :
+            ]
+
+    acc = jnp.zeros((tile_h * width_out, n_out), jnp.float32)
+    for u in range(3):
+        acc = acc + jax.lax.dot_general(
+            pbuf[:, :, 2 * u * c2 : (2 * u + 2) * c2].reshape(
+                tile_h * width_out, 2 * c2
+            ),
+            w_ref[u],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    y = acc + bias_ref[:][None, :]
+    y_store = y.astype(out_ref.dtype)
+    out_ref[0] = y_store.reshape(tile_h, width_out, n_out)
+
+    yf = y_store.astype(jnp.float32)
+    part = jnp.stack([jnp.sum(yf, axis=0), jnp.sum(jnp.square(yf), axis=0)])
+
+    @pl.when(hi == 0)
+    def _reset():
+        acc_ref[:] = part
+
+    @pl.when(hi > 0)
+    def _accum():
+        acc_ref[:] = acc_ref[:] + part
+
+    stats_ref[0] = acc_ref[:]
+
+
+def _fold_downsample_weights(w: Array) -> Array:
+    """(3, 3, C, N) -> (3, 4C, N): per row tap u, the K=4C contraction is
+    [W[u,0] (pair even-half); W[u,1] (odd-half); W[u,2] (next pair even);
+    zeros (next pair odd — never read by this window)]."""
+    c_in, n_out = w.shape[2], w.shape[3]
+    zeros = jnp.zeros((c_in, n_out), w.dtype)
+    return jnp.stack(
+        [jnp.concatenate([w[u, 0], w[u, 1], w[u, 2], zeros], axis=0) for u in range(3)],
+        axis=0,
+    )
+
+
+def _xla_downsample_conv(x, w, bias):
+    """Literal conv3x3 stride-2 pad ((0,1),(0,1)) (+ stats) — fallback/VJP."""
+    y = lax.conv_general_dilated(
+        x, w, (2, 2), ((0, 1), (0, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + bias.astype(jnp.float32)[None, None, None, :]
+    y = y.astype(x.dtype)
+    yf = y.astype(jnp.float32)
+    stats = jnp.stack(
+        [jnp.sum(yf, axis=(1, 2)), jnp.sum(jnp.square(yf), axis=(1, 2))], axis=1
+    )
+    return y, stats
+
+
+def _downsample_vmem_bytes(tile_h, width_out, c2, n_out, itemsize):
+    return (
+        2 * (2 * tile_h + 2) * (width_out + 8) * c2 * itemsize  # xbuf x2
+        + tile_h * width_out * 6 * c2 * itemsize                # pbuf (K=12C)
+        + tile_h * width_out * n_out * 4                        # accumulator
+        + 2 * tile_h * width_out * n_out * itemsize             # out (2x)
+        + 3 * 2 * c2 * n_out * itemsize                         # weights
+        + (2 * tile_h + 2) * (width_out + 8) * c2 * itemsize    # slab value copy
+    )
+
+
+def _downsample_fwd_impl(x, w, bias, tile_h):
+    bsz, height, width, c_in = x.shape
+    n_out = w.shape[-1]
+    w2 = width // 2
+    h_out = height // 2
+    itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+    if tile_h is None:
+        for cand in (32, 16, 8, 4):
+            if h_out % cand == 0 and _downsample_vmem_bytes(
+                cand, w2, 2 * c_in, n_out, itemsize
+            ) <= MAX_VMEM_BYTES:
+                tile_h = cand
+                break
+    vmem = _downsample_vmem_bytes(tile_h, w2, 2 * c_in, n_out, itemsize)
+    x6 = x.reshape(bsz, height, w2, 2 * c_in)  # free: NHWC pair-channel view
+    w_fold = _fold_downsample_weights(w.astype(jnp.float32)).astype(x.dtype)
+    kernel = functools.partial(
+        _downsample_kernel, tile_h=tile_h, width_out=w2, n_tiles=h_out // tile_h
+    )
+    y, stats = pl.pallas_call(
+        kernel,
+        grid=(bsz, h_out // tile_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (3, 4 * c_in, n_out), lambda bi, hi: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, tile_h, w2, n_out), lambda bi, hi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 2, n_out), lambda bi, hi: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, h_out, w2, n_out), x.dtype),
+            jax.ShapeDtypeStruct((bsz, 2, n_out), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * tile_h + 2, w2 + 8, 2 * c_in), x.dtype),
+            pltpu.VMEM((tile_h, w2, 6 * 2 * c_in), x.dtype),
+            pltpu.VMEM((2, n_out), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem * 1.6) + (2 << 20), 127 * 1024 * 1024),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 12 * bsz * h_out * w2 * c_in * n_out,
+            bytes_accessed=(x.size + bsz * h_out * w2 * n_out) * itemsize,
+            transcendentals=0,
+        ),
+        interpret=INTERPRET,
+    )(x6, w_fold, bias)
+    return y, stats
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _downsample_chain(x, w, bias, tile_h):
+    return _downsample_fwd_impl(x, w, bias, tile_h)
+
+
+def _downsample_fwd(x, w, bias, tile_h):
+    return _downsample_fwd_impl(x, w, bias, tile_h), (x, w, bias)
+
+
+def _downsample_bwd(tile_h, residuals, g):
+    x, w, bias = residuals
+    _, vjp = jax.vjp(_xla_downsample_conv, x, w, bias)
+    return vjp(g)
+
+
+_downsample_chain.defvjp(_downsample_fwd, _downsample_bwd)
+
+
+def fused_downsample_conv3x3_stats(
+    x: Array, w: Array, bias: Array, *, force_xla: bool = False
+) -> Tuple[Array, Array]:
+    """conv3x3 stride-2 pad ((0,1),(0,1)) + bias with the stats epilogue
+    (diffusers Downsample2D numerics)."""
+    bsz, height, width, c_in = x.shape
+    n_out = w.shape[-1]
+    on_tpu = False
+    try:
+        on_tpu = jax.default_backend() == "tpu" or INTERPRET
+    except Exception:
+        pass
+    itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+    picked = None
+    if height % 2 == 0 and width % 2 == 0:
+        for cand in (32, 16, 8, 4):
+            if (height // 2) % cand == 0 and _downsample_vmem_bytes(
+                cand, width // 2, 2 * c_in, n_out, itemsize
+            ) <= MAX_VMEM_BYTES:
+                picked = cand
+                break
+    aligned = (
+        picked is not None
+        and (width // 2) % 8 == 0
+        and c_in % 128 == 0
+        and n_out % 128 == 0
+    )
+    if force_xla or not on_tpu or not aligned:
+        return _xla_downsample_conv(x, w, bias)
+    return _downsample_chain(x, w, bias, picked)
+
+
 # the interleave (concat + stack + cast + stats re-read) makes Mosaic's
 # stack allocation hard to model exactly; measured ~1.6x the naive sum at
 # (128, 512) — budget tiles conservatively and set the limit with slack

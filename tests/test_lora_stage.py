@@ -186,6 +186,77 @@ def test_inference_cli(pretrained_dir, tmp_path):
     assert arr.shape == (64, 64, 4)
 
 
+def test_inference_resolve_inputs(tmp_path):
+    from PIL import Image
+
+    from ragb_vae_tpu.inference import _resolve_inputs
+
+    rng = np.random.default_rng(1)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for name in ("a.png", "b.png", "c.webp", "skip.txt"):
+        if name.endswith(".txt"):
+            (d / name).write_text("x")
+        else:
+            Image.fromarray(
+                rng.integers(0, 256, (16, 16, 4), dtype=np.uint8), "RGBA"
+            ).save(d / name)
+    single = _resolve_inputs(str(d / "a.png"))
+    assert [p.name for p in single] == ["a.png"]
+    from_dir = _resolve_inputs(str(d))
+    assert [p.name for p in from_dir] == ["a.png", "b.png", "c.webp"]
+    from_glob = _resolve_inputs(str(d / "*.png"))
+    assert [p.name for p in from_glob] == ["a.png", "b.png"]
+    with pytest.raises(FileNotFoundError):
+        _resolve_inputs(str(d / "nope*.png"))
+
+
+def test_inference_cli_batch_mode(pretrained_dir, tmp_path):
+    """Directory input -> batched sampling, grouped by image size."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    in_dir = tmp_path / "inputs"
+    in_dir.mkdir()
+    for i in range(3):  # two 64x64 + one 32x32: exercises size grouping
+        size = 64 if i < 2 else 32
+        Image.fromarray(
+            rng.integers(0, 256, (size, size, 4), dtype=np.uint8), "RGBA"
+        ).save(in_dir / f"img{i}.png")
+    out_dir = tmp_path / "outs"
+
+    env = {"JAX_PLATFORMS": "cpu", "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    import os
+
+    result = subprocess.run(
+        [
+            sys.executable,
+            str(Path(__file__).resolve().parent.parent / "inference_rgba_flux.py"),
+            "--pretrained_model_name_or_path", str(pretrained_dir),
+            "--rgba_vae_path", str(pretrained_dir / "vae"),
+            "--vae_subfolder", "",
+            "--input_image", str(in_dir),
+            "--output_path", str(out_dir),
+            "--batch_size", "2",
+            "--steps", "1",
+            "--seed", "0",
+            "--precision", "fp32",
+        ],
+        capture_output=True,
+        text=True,
+        env={**os.environ, **env},
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    outs = sorted(p.name for p in out_dir.glob("*.png"))
+    assert outs == [
+        "img0_text_alpha.png", "img1_text_alpha.png", "img2_text_alpha.png"
+    ]
+    big = np.asarray(Image.open(out_dir / "img0_text_alpha.png"))
+    small = np.asarray(Image.open(out_dir / "img2_text_alpha.png"))
+    assert big.shape == (64, 64, 4) and small.shape == (32, 32, 4)
+
+
 def test_lora_resume_continues_run(pretrained_dir, data_root, tmp_path):
     """Kill/restart: a 2-step run then resume-for-2-more matches one 4-step
     run's step counter, and adapter+optimizer state round-trip the restart."""

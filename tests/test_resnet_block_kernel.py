@@ -215,6 +215,42 @@ def test_subpixel_upsample_conv_grads():
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("h,w,c", [(16, 128, 128), (8, 256, 128)])
+def test_downsample_conv_matches_literal(h, w, c):
+    """Dense-GEMM stride-2 kernel == literal conv3x3 stride-2 pad (0,1)."""
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
+    wk = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+    y, stats = rb.fused_downsample_conv3x3_stats(x, wk, bias)
+    y_ref, stats_ref = rb._xla_downsample_conv(x, wk, bias)
+    assert y.shape == (2, h // 2, w // 2, c)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(stats), np.asarray(stats_ref), rtol=1e-3, atol=1e-1
+    )
+
+
+def test_downsample_conv_grads():
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.standard_normal((1, 16, 128, 128)), jnp.float32)
+    wk = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(128) * 0.1, jnp.float32)
+
+    def loss_fused(x_, w_):
+        y, _ = rb.fused_downsample_conv3x3_stats(x_, w_, bias)
+        return jnp.sum(y ** 2)
+
+    def loss_ref(x_, w_):
+        y, _ = rb._xla_downsample_conv(x_, w_, bias)
+        return jnp.sum(y ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(x, wk)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(x, wk)
+    for ours, ref in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=1e-3)
+
+
 def test_block_grads_match():
     rng = np.random.default_rng(9)
     c = 128
