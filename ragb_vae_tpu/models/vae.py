@@ -465,10 +465,12 @@ class Encoder(nn.Module):
                     name=f"down_blocks_{i}_resnets_{j}",
                 )(x, stats)
             if i < n_blocks - 1:
-                # fused Downsample re-seeds the chain from its epilogue
+                # stays XLA even on the fused path: the dense-GEMM kernel
+                # wins in isolation but loses e2e (9.24 vs 9.30 img/s b8 —
+                # XLA fuses these stride-2 convs with their producers;
+                # benchmarks/results.md round-2 downsample note)
                 x, stats = Downsample(
-                    out_ch, self.dtype, fused=self.fused,
-                    name=f"down_blocks_{i}_downsample",
+                    out_ch, self.dtype, name=f"down_blocks_{i}_downsample"
                 )(x)
         x, mid_stats = MidBlock(
             cfg.block_out_channels[-1],
