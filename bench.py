@@ -97,6 +97,7 @@ def train_step_mode(
     grad_accum: int = 1,
     slicing: bool = True,
     tile: int = 0,
+    fused: bool = False,
 ) -> None:
     """Training-step throughput: the full jitted RGBA-VAE step (triplet
     encode -> posterior split/sample -> decode -> AlphaVAE loss + LPIPS
@@ -134,7 +135,11 @@ def train_step_mode(
     config.in_channels = 4
     config.out_channels = 4
     model = RgbaVAE(config=config, dtype=jnp.bfloat16, remat=True)
-    if slicing:
+    if fused:
+        # forward through the whole-block kernels; the custom VJP replays
+        # the XLA composition for gradients (training.fused_kernels knob)
+        model.enable_fused()
+    elif slicing:
         model.enable_slicing()
     if tile:
         # gradient-capable tiled encode/decode (models/vae_tiling.py) —
@@ -214,6 +219,9 @@ def main() -> None:
                         help="train_step mode: disable per-sample VAE slicing")
     parser.add_argument("--tile", type=int, default=0,
                         help="train_step mode: VAE tile size (0 = no tiling)")
+    parser.add_argument("--train-fused", action="store_true",
+                        help="train_step mode: fused-kernel forward "
+                        "(custom-VJP XLA recompute backward)")
     parser.add_argument(
         "--no-fused",
         action="store_true",
@@ -231,7 +239,7 @@ def main() -> None:
         train_step_mode(
             args.size, args.batches[0], args.iters, lpips=not args.no_lpips,
             grad_accum=args.grad_accum, slicing=not args.no_slicing,
-            tile=args.tile,
+            tile=args.tile, fused=args.train_fused,
         )
         return
 
