@@ -536,16 +536,17 @@ def _xla_chain(x, a, b, w, bias, skip, ws=None, wsb=None, activation="silu"):
     if activation == "silu":
         t = t * jax.nn.sigmoid(t)
     t = t.astype(x.dtype)
+    # no preferred_element_type: its transpose rule mixes the f32
+    # cotangent with bf16 weights and rejects (this fn IS the VJP
+    # recompute path); TPU accumulates bf16 convs in f32 internally
     y = lax.conv_general_dilated(
         t, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
     y = y + bias.astype(jnp.float32)[None, None, None, :]
     if skip is not None and ws is not None:
         proj = lax.dot_general(
             skip, ws, dimension_numbers=(((3,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.float32)
         y = y + proj + wsb.astype(jnp.float32)[None, None, None, :]
     elif skip is not None:
         y = y + skip.astype(jnp.float32)
@@ -824,8 +825,7 @@ def _xla_downsample_conv(x, w, bias):
     """Literal conv3x3 stride-2 pad ((0,1),(0,1)) (+ stats) — fallback/VJP."""
     y = lax.conv_general_dilated(
         x, w, (2, 2), ((0, 1), (0, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ) + bias.astype(jnp.float32)[None, None, None, :]
+    ).astype(jnp.float32) + bias.astype(jnp.float32)[None, None, None, :]
     y = y.astype(x.dtype)
     yf = y.astype(jnp.float32)
     stats = jnp.stack(
@@ -977,8 +977,7 @@ def _xla_upsample_conv(x, w, bias):
     up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
     y = lax.conv_general_dilated(
         up, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ) + bias.astype(jnp.float32)[None, None, None, :]
+    ).astype(jnp.float32) + bias.astype(jnp.float32)[None, None, None, :]
     y = y.astype(x.dtype)
     yf = y.astype(jnp.float32)
     stats = jnp.stack(

@@ -251,6 +251,35 @@ def test_downsample_conv_grads():
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=1e-3)
 
 
+def test_bf16_grads_do_not_crash():
+    """bf16 params/inputs through every custom-VJP recompute path — the
+    preferred_element_type transpose rule rejected mixed (bf16, f32)
+    cotangents until the recompute convs dropped the upcast (found by the
+    fused train-step bench; fp32-only grad tests missed it)."""
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.standard_normal((1, 8, 128, 128)), jnp.bfloat16)
+    p = _block_params(256, 128, seed=3)  # proj-skip block
+    p = jax.tree_util.tree_map(lambda t: t, p)
+    xs = jnp.asarray(rng.standard_normal((1, 8, 128, 256)), jnp.bfloat16)
+
+    def loss_block(k):
+        pp = {**p, "conv1": {**p["conv1"], "kernel": k}}
+        y, _ = rb.fused_resnet_block(xs, pp, num_groups=32)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss_block)(p["conv1"]["kernel"])
+    assert np.isfinite(float(jnp.sum(jnp.abs(g).astype(jnp.float32))))
+
+    wk = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, jnp.bfloat16)
+    for fn in (rb.fused_upsample_conv3x3_stats, rb.fused_downsample_conv3x3_stats):
+        def loss_fn(w, fn=fn):
+            y, _ = fn(x, w, jnp.zeros(128))
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss_fn)(wk)
+        assert np.isfinite(float(jnp.sum(jnp.abs(g).astype(jnp.float32))))
+
+
 def test_block_grads_match():
     rng = np.random.default_rng(9)
     c = 128
