@@ -75,12 +75,14 @@ class MixedBucketDataset:
         entry = self.entries[index]
         return self._make_sample(entry, load_rgba(self._resolve_path(entry)))
 
-    def getitems(self, indices: Sequence[int]) -> List[Dict[str, Any]]:
+    def getitems(self, indices: Sequence[int], *, map_fn=None) -> List[Dict[str, Any]]:
         """Batch fetch used by the DataLoader: ONE native C++ batch decode
         (libpng + normalize across worker threads inside native/rgba_io.cpp,
         2.8x PIL per thread) when every image in the batch is a PNG of
         identical pixel dimensions — the common case for bucket-pure
-        batches. Anything else falls back to per-item decode."""
+        batches. Anything else falls back to per-item decode, routed through
+        `map_fn` (the loader's thread pool) when provided so the fallback
+        keeps its decode parallelism on non-fast-path environments."""
         entries = [self.entries[i] for i in indices]
         try:
             from ragb_vae_tpu.data import native_io
@@ -98,4 +100,6 @@ class MixedBucketDataset:
                     ]
         except Exception:
             pass  # odd PNGs / native failures -> per-item path below
+        if map_fn is not None and len(indices) > 1:
+            return list(map_fn(self.__getitem__, indices))
         return [self[i] for i in indices]

@@ -114,8 +114,19 @@ class DataLoader:
         if hasattr(self.dataset, "getitems"):
             # dataset-level batch fetch (e.g. the native C++ batch PNG
             # decode in MixedBucketDataset.getitems — its worker threads
-            # replace the Python-side pool for that path)
-            items = list(self.dataset.getitems(batch_indices))
+            # replace the Python-side pool for that path). Hand the pool's
+            # map to the dataset so its per-item FALLBACK (native lib
+            # unbuilt, mixed sizes, non-PNG) still decodes in parallel.
+            try:
+                items = list(
+                    self.dataset.getitems(
+                        batch_indices,
+                        map_fn=self._pool.map if self._pool is not None else None,
+                    )
+                )
+            except TypeError:
+                # getitems implementations without the map_fn kwarg
+                items = list(self.dataset.getitems(batch_indices))
         elif self._pool is not None and len(batch_indices) > 1:
             items = list(self._pool.map(self.dataset.__getitem__, batch_indices))
         else:

@@ -357,16 +357,25 @@ def _flash_attention_3d(q, k, v, sm_scale, block_q, block_k):
     )
 
 
+# "auto": fused bwd kernels for d<384, chunked recompute above (measured
+# routing); "recompute": always the round-1 recompute VJP (benchmarking).
+BACKWARD = "auto"
+
+
+def _uses_fused_bwd(d: int) -> bool:
+    return BACKWARD != "recompute" and d < 384
+
+
 def _flash_fwd(q, k, v, sm_scale, block_q, block_k):
     out, lse = _flash_fwd_impl(
         q, k, v, sm_scale=sm_scale, block_q=block_q, block_k=block_k
     )
-    return out, (q, k, v, out, lse)
-
-
-# "auto": fused bwd kernels for d<384, chunked recompute above (measured
-# routing); "recompute": always the round-1 recompute VJP (benchmarking).
-BACKWARD = "auto"
+    if _uses_fused_bwd(q.shape[-1]):
+        return out, (q, k, v, out, lse)
+    # chunked-recompute route reads only (q, k, v); dropping out/lse saves
+    # an extra (BH, S, D) + (BH, S) residual per layer on the d>=384
+    # memory-constrained path (the VAE mid-block's 512-dim head)
+    return out, (q, k, v, None, None)
 
 
 def _flash_bwd(sm_scale, block_q, block_k, residuals, g):
@@ -376,7 +385,7 @@ def _flash_bwd(sm_scale, block_q, block_k, residuals, g):
     # the Flux-DiT shape) but LOSE at the VAE mid-block's single 512-dim
     # head, where XLA's dense K=512 GEMMs through the chunked recompute
     # run at 166 TF/s. Use the kernels for d < 384, recompute above.
-    if BACKWARD != "recompute" and q.shape[-1] < 384:
+    if _uses_fused_bwd(q.shape[-1]):
         dq, dk, dv = flash_attention_bwd_3d(
             q, k, v, out, lse, g, sm_scale=sm_scale, block_q=block_q, block_k=block_k
         )

@@ -162,8 +162,12 @@ def make_zero2_train_step(
         metrics = dict(metrics)
         metrics["train/loss"] = lax.pmean(loss, DATA_AXIS)
         metrics["train/grad_norm"] = gnorm
+        # out_spec declares metrics replicated (P()): pmean EVERY array
+        # leaf, not just scalars — a device-local non-scalar metric under
+        # check_vma=False would otherwise silently ship one device's values
+        # as if they were the global reduction.
         metrics = jax.tree_util.tree_map(
-            lambda m: lax.pmean(m, DATA_AXIS) if getattr(m, "ndim", 0) == 0 else m,
+            lambda m: lax.pmean(m, DATA_AXIS) if hasattr(m, "ndim") else m,
             metrics,
         )
         return new_params, new_opt, metrics

@@ -126,17 +126,28 @@ class AsyncCheckpointWriter:
         self._pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
         self._pending = None
 
-    def submit(self, directory: Union[str, Path], **save_kwargs) -> None:
-        """Queue `save_train_checkpoint(directory, **save_kwargs)`."""
+    def submit(self, directory: Union[str, Path], *, on_complete=None, **save_kwargs) -> None:
+        """Queue `save_train_checkpoint(directory, **save_kwargs)`.
+
+        `on_complete` (optional, no-arg) runs on the worker thread strictly
+        AFTER the save lands — retention pruning belongs here, not on the
+        submitting thread, where it would race the in-flight write and could
+        delete the last complete checkpoint while the new one is partial.
+        """
         self.wait()
         # snapshot device arrays to host NOW (donation safety); the worker
         # then only serializes and writes
         for key in ("params", "opt_state"):
             if save_kwargs.get(key) is not None:
                 save_kwargs[key] = jax.device_get(save_kwargs[key])
-        self._pending = self._pool.submit(
-            save_train_checkpoint, directory, **save_kwargs
-        )
+
+        def _save_then_complete():
+            result = save_train_checkpoint(directory, **save_kwargs)
+            if on_complete is not None:
+                on_complete()
+            return result
+
+        self._pending = self._pool.submit(_save_then_complete)
 
     def wait(self) -> None:
         """Block until the in-flight save (if any) lands; re-raise errors."""

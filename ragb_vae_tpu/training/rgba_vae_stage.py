@@ -426,16 +426,23 @@ def save_checkpoints(
         opt_state=opt_state,
         step=step or 0,
     )
+    keep_last = int(train_cfg.get("ckpt_keep_last", 0) or 0)
+
+    def _prune():
+        # Runs strictly after the save lands (worker thread on the async
+        # path) so retention never deletes the only complete checkpoint
+        # while the new directory is still partially written.
+        if keep_last > 0:
+            removed = ckpt_lib.prune_checkpoints(ckpt_dir, keep_last)
+            if removed:
+                print(f"[ckpt] pruned {removed} old checkpoints (keep_last={keep_last})")
+
     if writer is not None:
         # d2h + file IO overlap the next training steps (async_checkpoint)
-        writer.submit(target, **kwargs)
+        writer.submit(target, on_complete=_prune, **kwargs)
     else:
         ckpt_lib.save_train_checkpoint(target, **kwargs)
-    keep_last = int(train_cfg.get("ckpt_keep_last", 0) or 0)
-    if keep_last > 0:
-        removed = ckpt_lib.prune_checkpoints(ckpt_dir, keep_last)
-        if removed:
-            print(f"[ckpt] pruned {removed} old checkpoints (keep_last={keep_last})")
+        _prune()
     print(f"Saved RGBA-VAE checkpoints to {target}" + (f" (step {step})" if step else ""))
     return target
 
