@@ -44,25 +44,33 @@ def resolve_background_path(sample_dir: Path) -> Path:
     raise FileNotFoundError(f"Background image not found in {sample_dir}")
 
 
+def _layer_order(path: Path) -> Optional[int]:
+    """Numeric layer index of a component file, or None if it isn't one
+    (thumbnails, unparseable names)."""
+    if "thumbnail" in path.name.lower():
+        return None
+    try:
+        return _component_index_key(path)
+    except ValueError:
+        return None
+
+
 def find_component_paths(sample_dir: Path) -> List[Path]:
-    patterns = [
+    """Ordered component layers for one sample directory.
+
+    The three glob patterns (bare, sample-prefixed, any-prefixed) are the
+    on-disk naming contract shared with the reference datasets — the first
+    pattern with any valid match wins, sorted by numeric layer index.
+    """
+    for pattern in (
         "component_*.png",
         f"{sample_dir.name}_component_*.png",
         "*_component_*.png",
-    ]
-    for pattern in patterns:
-        indexed: List[Tuple[int, Path]] = []
-        for path in sample_dir.glob(pattern):
-            if "thumbnail" in path.name.lower():
-                continue
-            try:
-                index = _component_index_key(path)
-            except ValueError:
-                continue
-            indexed.append((index, path))
-        if indexed:
-            indexed.sort(key=lambda item: item[0])
-            return [p for _, p in indexed]
+    ):
+        order = {p: _layer_order(p) for p in sample_dir.glob(pattern)}
+        layers = sorted((p for p, k in order.items() if k is not None), key=order.get)
+        if layers:
+            return layers
     return []
 
 

@@ -80,32 +80,73 @@ def background_visible_ratio(masks: Dict[int, np.ndarray]) -> float:
     return float(union.size - int(union.sum())) / float(union.size)
 
 
+def _pairwise_overlaps(eroded_masks: Dict[int, np.ndarray]) -> Dict[int, Set[int]]:
+    """idx -> set of other indices whose (eroded) masks intersect it.
+
+    Flattens each mask once; intersection tests are dot-product-free
+    `any` checks on the flat views. Computed once per sample, then every
+    peel stage's grouping is pure set logic (no image-sized temporaries).
+    """
+    flat = {idx: mask.reshape(-1) for idx, mask in eroded_masks.items()}
+    keys = sorted(flat)
+    overlaps: Dict[int, Set[int]] = {idx: set() for idx in keys}
+    for pos, a in enumerate(keys):
+        for b in keys[pos + 1 :]:
+            if np.any(flat[a] & flat[b]):
+                overlaps[a].add(b)
+                overlaps[b].add(a)
+    return overlaps
+
+
 def find_unoverlapped_indices(
     remaining: Sequence[int], eroded_masks: Dict[int, np.ndarray]
 ) -> List[int]:
-    """Greedy back-to-front pick of mutually non-overlapping components."""
-    if not remaining:
-        return []
-    covered = np.zeros_like(next(iter(eroded_masks.values())), dtype=bool)
-    picks: List[int] = []
-    for idx in reversed(list(remaining)):
-        mask = eroded_masks.get(idx)
-        if mask is None:
-            continue
-        if not np.any(mask & covered):
-            picks.append(idx)
-            covered |= mask
-    picks.reverse()
-    return picks
+    """Topmost-first pick of mutually non-overlapping components.
+
+    Output contract (pinned by dataset parity): scanning from the topmost
+    layer down, a component joins the group iff it intersects none of the
+    already-accepted members; the result is returned in bottom-to-top
+    (ascending `remaining`) order. Implemented on a precomputed pairwise
+    overlap graph rather than an accumulated coverage bitmap.
+    """
+    overlaps = _pairwise_overlaps(
+        {idx: eroded_masks[idx] for idx in remaining if idx in eroded_masks}
+    )
+    group: List[int] = []
+    for idx in sorted(overlaps, reverse=True):
+        if overlaps[idx].isdisjoint(group):
+            group.append(idx)
+    return group[::-1]
 
 
 def composite_subset(
     components: Sequence[Image.Image], indices: Sequence[int], canvas_size: Tuple[int, int]
 ) -> Image.Image:
-    fg = Image.new("RGBA", canvas_size, (0, 0, 0, 0))
-    for idx in indices:
-        fg = Image.alpha_composite(fg, components[idx].convert("RGBA"))
-    return fg
+    """Alpha-composite the selected layers (bottom to top) on a clear canvas."""
+    from functools import reduce
+
+    selected = (components[i].convert("RGBA") for i in indices)
+    return reduce(Image.alpha_composite, selected, Image.new("RGBA", canvas_size))
+
+
+def plan_peel_schedule(
+    order: Sequence[int], eroded_masks: Dict[int, np.ndarray], max_groups: Optional[int]
+) -> List[List[int]]:
+    """Partition `order` into successive non-overlapping groups.
+
+    Pure mask-level planning (no pixels touched): repeatedly extract the
+    topmost-first non-overlapping group from what's left. Rendering is a
+    separate pass — see `iterate_foreground_groups`.
+    """
+    schedule: List[List[int]] = []
+    left = list(order)
+    while left and (max_groups is None or len(schedule) < max_groups):
+        group = find_unoverlapped_indices(left, eroded_masks)
+        if not group:
+            break
+        schedule.append(group)
+        left = [i for i in left if i not in group]
+    return schedule
 
 
 def iterate_foreground_groups(
@@ -116,24 +157,26 @@ def iterate_foreground_groups(
     max_groups: Optional[int],
     masks: Optional[Dict[int, np.ndarray]] = None,
 ):
-    """Yield (stage, picks, composite-of-remaining, fg-group) stages."""
+    """Yield (stage, picks, composite-of-remaining, fg-group) stages.
+
+    Two phases: (1) plan the full peel schedule from eroded masks alone,
+    (2) render each stage — the base image composites everything not yet
+    peeled, the fg image composites just that stage's group.
+    """
     masks = masks if masks is not None else build_component_masks(components)
     if not masks:
         return
     eroded = erode_masks(masks, iterations=erosion_iterations)
-    remaining = [idx for idx in range(len(components)) if idx in masks]
-    stage = 0
-    while remaining:
-        picks = find_unoverlapped_indices(remaining, eroded)
-        if not picks:
-            break
-        base_image = composite_layers(background, [components[i] for i in remaining])
+    # plan the FULL schedule, then emit only the first `max_groups` stages:
+    # a stage's base image must still show layers that fall beyond the cap
+    schedule = plan_peel_schedule(sorted(masks), eroded, None)
+    emit = schedule if max_groups is None else schedule[:max_groups]
+    for stage, picks in enumerate(emit):
+        still_present = [i for g in schedule[stage:] for i in g]
+        still_present.sort()
+        base_image = composite_layers(background, [components[i] for i in still_present])
         fg_image = composite_subset(components, picks, background.size)
         yield stage, picks, base_image, fg_image
-        remaining = [i for i in remaining if i not in picks]
-        stage += 1
-        if max_groups is not None and stage >= max_groups:
-            break
 
 
 def make_sample_rng(sample_name: str, base_seed: int) -> np.random.Generator:
