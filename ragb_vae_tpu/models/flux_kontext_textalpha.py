@@ -445,6 +445,75 @@ class FluxTextAlphaModel:
     # ------------------------------------------------------------------
     # Sampling (:430-500) — whole loop in one jitted program
     # ------------------------------------------------------------------
+    def sampling_schedule(self, num_inference_steps: int) -> FlowMatchEulerScheduler:
+        """Inference schedule with dynamic-shift μ from the VAE sample size
+        (the reference's `_set_timesteps`, :279-283)."""
+        sched = FlowMatchEulerScheduler(self.scheduler.config)
+        sample = self.vae.config.sample_size or 256
+        h = max(int(sample // self.vae_scale_factor), 1)
+        sched.set_timesteps(
+            num_inference_steps, mu=calc_mu(self.scheduler.config, h * h)
+        )
+        return sched
+
+    def sample_latents_from_noise(
+        self,
+        params: PyTree,
+        cond_latent: Array,
+        init_noise: Array,
+        step_noises: Array,
+        *,
+        return_trajectory: bool = False,
+    ) -> Array:
+        """Deterministic core of `sample`: ALL noise is injected.
+
+        `init_noise` is the latent initialization; `step_noises` is
+        (num_steps, B, h, w, C) — one fresh tensor per denoising step for
+        the reference's per-step re-noising quirk
+        (`noisy_target = (1-σ)·latents + σ·randn`, reference :463). This is
+        the bit-faithful comparison surface for the torch golden-trajectory
+        parity test (tests/test_sample_parity.py): identical injected noise
+        must yield an identical latent trajectory.
+
+        With `return_trajectory` the full (num_steps, B, h, w, C) latent
+        trajectory after each Euler step is returned alongside the final
+        latents.
+        """
+        num_steps = step_noises.shape[0]
+        sched = self.sampling_schedule(num_steps)
+        sigmas = jnp.asarray(sched.sigmas)
+        timesteps = jnp.asarray(sched.timesteps)
+
+        bsz = cond_latent.shape[0]
+        latent_h, latent_w = cond_latent.shape[1], cond_latent.shape[2]
+        ids_single = prepare_latent_image_ids(latent_h // 2, latent_w // 2)
+        img_ids = jnp.concatenate([ids_single, ids_single], axis=0)
+        packed_cond = pack_latents(cond_latent.astype(self.dtype))
+        seq_cond = packed_cond.shape[1]
+
+        def step_fn(latents, scan_in):
+            i, step_noise = scan_in
+            sigma = sigmas[i]
+            # reference quirk: fresh noise injected EVERY step (:463)
+            noisy_target = (1.0 - sigma) * latents + sigma * step_noise
+            packed = jnp.concatenate(
+                [packed_cond, pack_latents(noisy_target.astype(self.dtype))], axis=1
+            )
+            timestep = jnp.broadcast_to(timesteps[i] / 1000.0, (bsz,))
+            pred = self._transformer_pred(params, packed, timestep, img_ids, bsz)
+            pred_target = unpack_latents(
+                pred[:, seq_cond:, :].astype(jnp.float32), latent_h, latent_w
+            )
+            new_latents = sched.step(pred_target, i, latents)
+            return new_latents, (new_latents if return_trajectory else None)
+
+        latents, trajectory = jax.lax.scan(
+            step_fn,
+            init_noise.astype(jnp.float32),
+            (jnp.arange(num_steps), step_noises.astype(jnp.float32)),
+        )
+        return (latents, trajectory) if return_trajectory else latents
+
     def sample(
         self,
         params: PyTree,
@@ -457,41 +526,13 @@ class FluxTextAlphaModel:
         k_enc, k_init, k_loop = jax.random.split(key, 3)
         cond_latent = self.encode_latents(vae_params, gt, k_enc)
 
-        sched = FlowMatchEulerScheduler(self.scheduler.config)
-        sample = self.vae.config.sample_size or 256
-        h = max(int(sample // self.vae_scale_factor), 1)
-        sched.set_timesteps(
-            num_inference_steps, mu=calc_mu(self.scheduler.config, h * h)
-        )
-        sigmas = jnp.asarray(sched.sigmas)
-        timesteps = jnp.asarray(sched.timesteps)
-
         latents0 = jax.random.normal(k_init, cond_latent.shape, dtype=jnp.float32)
-        bsz = gt.shape[0]
-        latent_h, latent_w = cond_latent.shape[1], cond_latent.shape[2]
-        ids_single = prepare_latent_image_ids(latent_h // 2, latent_w // 2)
-        img_ids = jnp.concatenate([ids_single, ids_single], axis=0)
-        packed_cond = pack_latents(cond_latent.astype(self.dtype))
-        seq_cond = packed_cond.shape[1]
-
-        def body(i, latents):
-            sigma = sigmas[i]
-            # reference quirk: fresh noise injected EVERY step (:463)
-            step_noise = jax.random.normal(
-                jax.random.fold_in(k_loop, i), latents.shape, dtype=jnp.float32
+        step_noises = jax.vmap(
+            lambda i: jax.random.normal(
+                jax.random.fold_in(k_loop, i), cond_latent.shape, dtype=jnp.float32
             )
-            noisy_target = (1.0 - sigma) * latents + sigma * step_noise
-            packed = jnp.concatenate(
-                [packed_cond, pack_latents(noisy_target.astype(self.dtype))], axis=1
-            )
-            timestep = jnp.broadcast_to(timesteps[i] / 1000.0, (bsz,))
-            pred = self._transformer_pred(params, packed, timestep, img_ids, bsz)
-            pred_target = unpack_latents(
-                pred[:, seq_cond:, :].astype(jnp.float32), latent_h, latent_w
-            )
-            return sched.step(pred_target, i, latents)
-
-        latents = jax.lax.fori_loop(0, num_inference_steps, body, latents0)
+        )(jnp.arange(num_inference_steps))
+        latents = self.sample_latents_from_noise(params, cond_latent, latents0, step_noises)
         decoded = self.vae.decode(
             vae_params, (latents / self.scaling_factor + self.shift_factor).astype(self.dtype)
         )
