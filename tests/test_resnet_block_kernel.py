@@ -299,3 +299,130 @@ def test_block_grads_match():
     g2 = jax.grad(loss_ref, argnums=(0, 1))(x, p["conv1"]["kernel"])
     for ours, ref in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Winograd F(2x2, 3x3) in-VMEM kernel
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("bsz,h,w,c,n,skip", [
+    (1, 8, 128, 128, 128, False),
+    (2, 8, 128, 128, 128, True),
+    (1, 8, 256, 128, 256, False),
+])
+def test_wino_chain_matches_xla(bsz, h, w, c, n, skip):
+    x, a, b, wk, bias, sk = _chain_inputs(bsz, h, w, c, n, skip=skip)
+    y, stats = rb.gn_silu_conv3x3_stats(x, a, b, wk, bias, sk, algo="winograd")
+    y_ref, stats_ref = rb._xla_chain(x, a, b, wk, bias, sk)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(stats), np.asarray(stats_ref), rtol=1e-3, atol=1e-2
+    )
+
+
+def test_wino_chain_with_projected_shortcut():
+    bsz, h, w, c, n = 1, 8, 128, 128, 256
+    x, a, b, wk, bias, _ = _chain_inputs(bsz, h, w, c, n)
+    rng = np.random.default_rng(5)
+    sk = jnp.asarray(rng.standard_normal((bsz, h, w, c)), jnp.float32)
+    ws = jnp.asarray(rng.standard_normal((c, n)) * 0.05, jnp.float32)
+    wsb = jnp.asarray(rng.standard_normal(n) * 0.1, jnp.float32)
+    y, stats = rb.gn_silu_conv3x3_stats(
+        x, a, b, wk, bias, sk, proj=(ws, wsb), algo="winograd"
+    )
+    y_ref, stats_ref = rb._xla_chain(x, a, b, wk, bias, sk, ws, wsb)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(stats), np.asarray(stats_ref), rtol=1e-3, atol=1e-2
+    )
+
+
+def test_wino_identity_activation():
+    """Bare conv (identity act, unit coeffs) through the winograd route."""
+    bsz, h, w, c = 1, 8, 128, 128
+    x, _, _, wk, bias, _ = _chain_inputs(bsz, h, w, c, c)
+    ones = jnp.ones((bsz, c), jnp.float32)
+    zeros = jnp.zeros((bsz, c), jnp.float32)
+    y, _ = rb.gn_silu_conv3x3_stats(
+        x, ones, zeros, wk, bias, activation="identity", algo="winograd"
+    )
+    y_ref, _ = rb._xla_chain(x, ones, zeros, wk, bias, None, activation="identity")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_wino_gradients_match_xla():
+    """custom-VJP grads of the winograd chain == grads of the XLA restate."""
+    bsz, h, w, c, n = 1, 4, 128, 128, 128
+    x, a, b, wk, bias, _ = _chain_inputs(bsz, h, w, c, n)
+
+    def loss_kernel(x, wk):
+        y, stats = rb.gn_silu_conv3x3_stats(x, a, b, wk, bias, algo="winograd")
+        return jnp.sum(y * y) + jnp.sum(stats)
+
+    def loss_ref(x, wk):
+        y, stats = rb._xla_chain(x, a, b, wk, bias, None)
+        return jnp.sum(y * y) + jnp.sum(stats)
+
+    gx, gw = jax.grad(loss_kernel, argnums=(0, 1))(x, wk)
+    gx_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(x, wk)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas backward (dx/da/db/dW/dbias/dskip/dws/dwsb in one launch)
+# ---------------------------------------------------------------------------
+def _grad_check(algo, skip_mode, activation="silu", h=8, w=128, c=128, n=128):
+    bsz = 2
+    x, a, b, wk, bias, _ = _chain_inputs(bsz, h, w, c, n)
+    rng = np.random.default_rng(9)
+    sk = ws = wsb = None
+    if skip_mode == "identity":
+        sk = jnp.asarray(rng.standard_normal((bsz, h, w, n)), jnp.float32)
+    elif skip_mode == "proj":
+        sk = jnp.asarray(rng.standard_normal((bsz, h, w, c)), jnp.float32)
+        ws = jnp.asarray(rng.standard_normal((c, n)) * 0.05, jnp.float32)
+        wsb = jnp.asarray(rng.standard_normal(n) * 0.1, jnp.float32)
+    # stats cotangent must flow: weight the stats in the loss
+    wstat = jnp.asarray(rng.standard_normal((bsz, 2, n)) * 0.01, jnp.float32)
+
+    def run(fn):
+        def loss(x, a, b, wk, bias, sk, ws, wsb):
+            if ws is not None:
+                y, stats = fn(x, a, b, wk, bias, sk, proj=(ws, wsb))
+            else:
+                y, stats = fn(x, a, b, wk, bias, sk)
+            return jnp.sum(y * y) + jnp.sum(stats * wstat)
+
+        argnums = (0, 1, 2, 3, 4) + ((5,) if sk is not None else ()) + (
+            (6, 7) if ws is not None else ()
+        )
+        return jax.grad(loss, argnums=argnums)(x, a, b, wk, bias, sk, ws, wsb)
+
+    kernel_fn = lambda *args, **kw: rb.gn_silu_conv3x3_stats(
+        *args, activation=activation, algo=algo, **kw
+    )
+    xla_fn = lambda x, a, b, wk, bias, sk, proj=(None, None): rb._xla_chain(
+        x, a, b, wk, bias, sk, proj[0], proj[1], activation
+    )
+    got = run(kernel_fn)
+    want = run(xla_fn)
+    names = ["dx", "da", "db", "dw", "dbias", "dskip", "dws", "dwsb"]
+    for g, r, name in zip(got, want, names):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-3, atol=2e-3,
+            err_msg=f"{algo}/{skip_mode}/{name}",
+        )
+
+
+@pytest.mark.parametrize("skip_mode", ["none", "identity", "proj"])
+def test_fused_backward_matches_xla(skip_mode):
+    _grad_check("direct", skip_mode)
+
+
+def test_fused_backward_identity_activation():
+    _grad_check("direct", "none", activation="identity")
+
+
+def test_fused_backward_wino_forward():
+    """Winograd forward + fused backward round trip."""
+    _grad_check("winograd", "identity")
