@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""20-step text-alpha sampler throughput — the inference product surface
+(inference_rgba_flux.py -> FluxTextAlphaModel.sample).
+
+Full FLUX.1 (19+38 blocks, 11.9 B params) exceeds a single 16 GB v5e in
+bf16, so this measures the mid-size transformer (full 3072 width, 4 double
++ 8 single blocks — the same config the LoRA step bench uses) with the
+REAL Flux VAE (full-size decoder, fused kernels + flash attention on),
+512^2 RGBA in/out, and reports a full-scale estimate by scaling the
+transformer share linearly in block count (19+38)/(4+8) — stated as an
+estimate, the VAE share is measured.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ragb_vae_tpu.models.flux_kontext_textalpha import FluxTextAlphaModel
+from ragb_vae_tpu.models.flux_transformer import FluxTransformerConfig
+from ragb_vae_tpu.models.rgba_vae import RgbaVAE
+from ragb_vae_tpu.models.scheduler import FlowMatchEulerConfig, FlowMatchEulerScheduler
+from ragb_vae_tpu.models.vae_config import AutoencoderConfig
+
+SIZE = 512
+STEPS = 20
+TEXT_SEQ = 512
+ITERS = 3
+MID_BLOCKS = (4, 8)
+FULL_BLOCKS = (19, 38)
+
+
+def build(batch):
+    cfg = FluxTransformerConfig(
+        in_channels=64,
+        num_layers=MID_BLOCKS[0],
+        num_single_layers=MID_BLOCKS[1],
+        attention_head_dim=128,
+        num_attention_heads=24,
+        joint_attention_dim=4096,
+        pooled_projection_dim=768,
+        guidance_embeds=True,
+    )
+    vae_cfg = AutoencoderConfig.flux()
+    vae_cfg.in_channels = 4
+    vae_cfg.out_channels = 4
+    vae_cfg.sample_size = SIZE
+    rng = np.random.default_rng(0)
+    vae = RgbaVAE(config=vae_cfg, dtype=jnp.bfloat16)
+    vae.enable_fused()
+    model = FluxTextAlphaModel(
+        transformer_config=cfg,
+        vae=vae,
+        scheduler=FlowMatchEulerScheduler(FlowMatchEulerConfig()),
+        prompt_embeds=jnp.asarray(
+            rng.standard_normal((1, TEXT_SEQ, cfg.joint_attention_dim)) * 0.02,
+            jnp.bfloat16,
+        ),
+        pooled_prompt_embeds=jnp.asarray(
+            rng.standard_normal((1, cfg.pooled_projection_dim)) * 0.02, jnp.bfloat16
+        ),
+        text_ids=jnp.zeros((TEXT_SEQ, 3), jnp.float32),
+        dtype=jnp.bfloat16,
+        remat=True,
+    )
+    latent = SIZE // model.vae_scale_factor
+    dummy = dict(
+        hidden_states=jnp.zeros((1, 8, cfg.in_channels), jnp.bfloat16),
+        encoder_hidden_states=model.prompt_embeds,
+        pooled_projections=model.pooled_prompt_embeds,
+        timestep=jnp.asarray([0.5]),
+        img_ids=jnp.zeros((8, 3)),
+        txt_ids=model.text_ids,
+        guidance=jnp.asarray([3.5]),
+    )
+    t_params = model.transformer.init(jax.random.PRNGKey(1), **dummy)["params"]
+    t_params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), t_params)
+    vae_params = vae.init_params(jax.random.PRNGKey(2), image_size=64)
+    vae_params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), vae_params)
+    gt = jnp.asarray(
+        np.random.default_rng(3).random((batch, SIZE, SIZE, 4)), jnp.float32
+    )
+    del latent
+    return model, t_params, vae_params, gt
+
+
+def main() -> None:
+    print(f"device: {jax.devices()[0]}")
+    results = {}
+    for batch in (1, 4):
+        model, t_params, vae_params, gt = build(batch)
+
+        @jax.jit
+        def sample(t_params, vae_params, gt, key):
+            return model.sample(
+                t_params, vae_params, gt, num_inference_steps=STEPS, key=key
+            )
+
+        key = jax.random.PRNGKey(0)
+        out = sample(t_params, vae_params, gt, key)
+        float(jnp.sum(out.astype(jnp.float32)))  # compile + settle
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            out = sample(t_params, vae_params, gt, jax.random.fold_in(key, i))
+        float(jnp.sum(out.astype(jnp.float32)))
+        dt = (time.perf_counter() - t0) / ITERS
+        rate = batch / dt
+        # full-scale estimate: transformer share scales with block count
+        scale = (FULL_BLOCKS[0] + FULL_BLOCKS[1]) / (MID_BLOCKS[0] + MID_BLOCKS[1])
+        est_full = batch / (dt * scale)  # upper bound: scales the WHOLE time
+        print(
+            f"sample {SIZE}px b{batch} {STEPS} steps (mid-size 4+8 blocks): "
+            f"{dt:.3f} s/batch -> {rate:.3f} img/s | "
+            f"full-scale (19+38) conservative estimate >= {est_full:.3f} img/s"
+        )
+        results[batch] = rate
+    print(
+        json.dumps(
+            {
+                "metric": f"textalpha_sample_{SIZE}px_{STEPS}step_midsize",
+                "value": round(results[4], 3),
+                "unit": "img/s/chip",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -393,6 +393,7 @@ def _wino_kernel(
     stats_ref,
     xbuf,
     awide,
+    vbuf,
     acc_ref,
     sems,
     *,
@@ -425,9 +426,12 @@ def _wino_kernel(
       col parities concat on the lane axis ((T/2, W/2, 2N) == (T/2, W, N)
       linear layout), row parities stack+reshape on the leading axis.
 
-    u_ref: (4, 4, C, N) pre-transformed weights U = G w G^T (fp32 fold,
-    cast to the compute dtype). 16 GEMMs of contraction depth C replace
-    the direct path's 3 GEMMs of depth 3C at (16/36) the MACs.
+    u_ref: (2, 4, 3C, N) pre-transformed folded weights (see
+    `_wino_weights`). 8 GEMMs of contraction depth 3C replace the direct
+    path's 3 GEMMs of the same depth at (24/36) the MACs. (The 16-GEMM
+    K=C variant with the full 2-stage output transform measured SLOWER —
+    0.63-1.00x vs direct, benchmarks/wino_bench.py r3 — its fp32 M/Z
+    traffic and casts outweighed the extra MAC saving.)
     """
     bi = pl.program_id(0)
     hi = pl.program_id(1)
@@ -531,55 +535,41 @@ def _wino_kernel(
         stats_ref[0] = acc_ref[:]
         return
 
-    # row transform + 16 GEMMs (K = C each)
-    m_acc = [[None] * 4 for _ in range(4)]
-    v_dbg = None
+    # row transform staged into ONE overlap-sliced buffer: vbuf[nu] holds
+    # [V0 | V1 | V2 | V3] on the channel axis; the two folded GEMMs per nu
+    # read the overlapping K-slices [0:3C] (A^T row p=0 weights U0;U1;U2)
+    # and [C:4C] (p=1 weights U1;-U2;-U3). Folding the output ROW transform
+    # into K trades 16 K=C GEMMs + 24 fp32 combines for 8 K=3C GEMMs + 8 —
+    # MACs go 4/9 -> 6/9 of direct, but the fp32 M/Z traffic halves and
+    # K=3C matches the direct kernel's best-measured contraction depth.
     for nu in range(4):
         v = cv[nu].reshape(t2 + 1, 2, width2, c)
         ev, od = v[:, 0], v[:, 1]
-        vx = (
-            ev[0:t2] - ev[1 : t2 + 1],
-            od[0:t2] + ev[1 : t2 + 1],
-            ev[1 : t2 + 1] - od[0:t2],
-            od[0:t2] - od[1 : t2 + 1],
-        )
-        if WINO_DEBUG_PHASE == "rowT":
-            part_v = sum(x_.astype(jnp.float32) for x_ in vx)
-            v_dbg = part_v if v_dbg is None else v_dbg + part_v
-            continue
-        for xi in range(4):
-            m_acc[xi][nu] = jax.lax.dot_general(
-                vx[xi].astype(awide.dtype).reshape(t2 * width2, c),
-                u_ref[xi, nu],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        vbuf[nu, :, :, 0 * c : 1 * c] = (ev[0:t2] - ev[1 : t2 + 1]).astype(vbuf.dtype)
+        vbuf[nu, :, :, 1 * c : 2 * c] = (od[0:t2] + ev[1 : t2 + 1]).astype(vbuf.dtype)
+        vbuf[nu, :, :, 2 * c : 3 * c] = (ev[1 : t2 + 1] - od[0:t2]).astype(vbuf.dtype)
+        vbuf[nu, :, :, 3 * c : 4 * c] = (od[0:t2] - od[1 : t2 + 1]).astype(vbuf.dtype)
 
     if WINO_DEBUG_PHASE == "rowT":
-        junk = jnp.concatenate([v_dbg, v_dbg], axis=-1)
-        out_ref[0] = jnp.concatenate([junk, junk], axis=0).reshape(
-            tile_h, width2, 2 * c
-        )[:, :, : 2 * n_out].astype(out_ref.dtype)
-        stats_ref[0] = acc_ref[:]
-        return
-
-    if WINO_DEBUG_PHASE == "gemm":
-        s = m_acc[0][0]
-        for xi in range(4):
-            for nu in range(4):
-                if xi or nu:
-                    s = s + m_acc[xi][nu]
-        junk = jnp.concatenate([s, s], axis=-1).reshape(t2, width2, 2 * n_out)
+        junk = vbuf[0, :, :, : 2 * n_out].astype(jnp.float32)
         out_ref[0] = jnp.concatenate([junk, junk], axis=0).reshape(
             tile_h, width2, 2 * n_out
         ).astype(out_ref.dtype)
         stats_ref[0] = acc_ref[:]
         return
 
-    # output transform A^T . A (rows then cols)
+    # 8 folded GEMMs: Z[p, nu] = Vcat_p(nu) @ Ufold[p, nu]  (K = 3C)
     z = [
-        [m_acc[0][nu] + m_acc[1][nu] + m_acc[2][nu] for nu in range(4)],
-        [m_acc[1][nu] - m_acc[2][nu] - m_acc[3][nu] for nu in range(4)],
+        [
+            jax.lax.dot_general(
+                vbuf[nu, :, :, p * c : (p + 3) * c].reshape(t2 * width2, 3 * c),
+                u_ref[p, nu],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for nu in range(4)
+        ]
+        for p in range(2)
     ]
     rows = []
     if has_skip:
@@ -630,14 +620,22 @@ def _wino_kernel(
 
 
 def _wino_weights(w: Array) -> Array:
-    """(3, 3, C, N) -> (4, 4, C, N): U = G w G^T per (C, N) slice, fp32 fold
-    (G rows contain 1/2 — exact in fp32; summing in bf16 would cost extra
-    output error like the subpixel fold did)."""
+    """(3, 3, C, N) -> (2, 4, 3C, N) folded Winograd weights.
+
+    U = G w G^T per (C, N) slice (fp32 fold — G rows contain 1/2, exact in
+    fp32; summing in bf16 costs extra output error like the subpixel fold
+    did), then the output ROW transform A^T (rows (1,1,1,0) / (0,1,-1,-1))
+    folds into the contraction: Ufold[0, nu] = [U0;U1;U2], Ufold[1, nu] =
+    [U1;-U2;-U3] — consumed by the kernel's overlapping [0:3C]/[C:4C]
+    V-buffer slices."""
     g = jnp.asarray(
         [[1.0, 0.0, 0.0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0.0, 0.0, 1.0]],
         jnp.float32,
     )
-    return jnp.einsum("xu,yv,uvcn->xycn", g, g, w.astype(jnp.float32))
+    u = jnp.einsum("xu,yv,uvcn->xycn", g, g, w.astype(jnp.float32))  # (4,4,C,N)
+    p0 = jnp.concatenate([u[0], u[1], u[2]], axis=1)    # (4, 3C, N)
+    p1 = jnp.concatenate([u[1], -u[2], -u[3]], axis=1)  # (4, 3C, N)
+    return jnp.stack([p0, p1], axis=0)  # (2, 4, 3C, N)
 
 
 # transform temporaries (cv fp32, 16 V bf16, 16 fp32 M accumulators) are
@@ -657,10 +655,10 @@ def _wino_vmem_bytes(tile_h, width2, c, n_out, itemsize, c_skip=None):
         + (tile_h + 2) * (width2 + 16) * 2 * c * itemsize    # awide
         + (tile_h + 2) * (width2 + 16) * 2 * c * 4           # act transient
         + 4 * (tile_h + 2) * width2 * c * 4                  # cv (fp32)
-        + 4 * t2 * width2 * c * itemsize                     # V tiles in flight
-        + 16 * t2 * width2 * n_out * 4                       # M accumulators
-        + 4 * t2 * width2 * 2 * n_out * 4                    # Z/Y transients
-        + 16 * c * n_out * itemsize                          # U weights
+        + 4 * t2 * width2 * 4 * c * itemsize                 # vbuf scratch
+        + 8 * t2 * width2 * n_out * 4                        # Z accumulators
+        + 2 * t2 * width2 * 2 * n_out * 4                    # Y transients
+        + 2 * 4 * 3 * c * n_out * itemsize                   # folded U weights
         + 2 * tile_h * width2 * 2 * n_out * itemsize         # out (2x buffered)
         + 2 * tile_h * width2 * c_last * itemsize            # skip (2x buffered)
         + (0 if c_skip is None else c_skip * n_out * itemsize)  # 1x1 proj weights
@@ -699,7 +697,7 @@ def _wino_fwd_impl(x, a, b, w, bias, skip, ws, wsb, tile_h, activation):
         pl.BlockSpec((1, 1, 2 * c_in), lambda bi, hi: (bi, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 2 * c_in), lambda bi, hi: (bi, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (4, 4, c_in, n_out), lambda bi, hi: (0, 0, 0, 0), memory_space=pltpu.VMEM
+            (2, 4, 3 * c_in, n_out), lambda bi, hi: (0, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
@@ -752,6 +750,7 @@ def _wino_fwd_impl(x, a, b, w, bias, skip, ws, wsb, tile_h, activation):
         scratch_shapes=[
             pltpu.VMEM((2, tile_h + 2, w2 + 16, 2 * c_in), x.dtype),
             pltpu.VMEM((tile_h + 2, w2 + 16, 2 * c_in), x.dtype),
+            pltpu.VMEM((4, tile_h // 2, w2, 4 * c_in), x.dtype),
             pltpu.VMEM((2, n_out), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
