@@ -163,8 +163,9 @@ def train_step_mode(
         model, tx, loss_cfg, step_cfg, lpips_fn=lpips_fn, donate=True
     )
 
+    height, width = (size, size) if isinstance(size, int) else size
     x = jnp.asarray(
-        np.random.default_rng(0).random((batch, size, size, 4)).astype(np.float32)
+        np.random.default_rng(0).random((batch, height, width, 4)).astype(np.float32)
     )
     key = jax.random.PRNGKey(1)
 
@@ -184,13 +185,13 @@ def train_step_mode(
     tag = "lpips" if lpips_fn is not None else "nolpips"
     accum_tag = f" accum {grad_accum}" if grad_accum > 1 else ""
     log(
-        f"[bench] train step {size}px batch {batch} ({tag}){accum_tag}: "
+        f"[bench] train step {height}x{width}px batch {batch} ({tag}){accum_tag}: "
         f"{dt/iters:.3f}s/step -> {rate:.3f} img/s"
     )
     print(
         json.dumps(
             {
-                "metric": f"rgba_vae_train_step_{size}px_bf16_{tag}",
+                "metric": f"rgba_vae_train_step_{height}x{width}px_bf16_{tag}",
                 "value": round(rate, 3),
                 "unit": "img/s/chip",
                 "vs_baseline": round(rate / 1.0, 3),  # no published baseline
@@ -202,6 +203,8 @@ def train_step_mode(
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=1024)
+    parser.add_argument("--height", type=int, default=0,
+                        help="train_step mode: non-square height (with --size as width), e.g. --height 768 --size 1408 for the reference MAX_PIXELS bucket")
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--batches", type=int, nargs="*", default=[12, 8, 1])
@@ -237,7 +240,8 @@ def main() -> None:
         return
     if args.metric == "train_step":
         train_step_mode(
-            args.size, args.batches[0], args.iters, lpips=not args.no_lpips,
+            (args.height, args.size) if args.height else args.size,
+            args.batches[0], args.iters, lpips=not args.no_lpips,
             grad_accum=args.grad_accum, slicing=not args.no_slicing,
             tile=args.tile, fused=args.train_fused,
         )

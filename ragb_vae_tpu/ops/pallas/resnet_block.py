@@ -920,6 +920,9 @@ def _operand_adapter(kernel, *args, has_skip: bool, has_proj: bool):
 
 def _xla_chain(x, a, b, w, bias, skip, ws=None, wsb=None, activation="silu"):
     """Reference composition (also the VJP recompute path)."""
+    w = w.astype(x.dtype)
+    if ws is not None:
+        ws = ws.astype(x.dtype)
     t = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
     if activation == "silu":
         t = t * jax.nn.sigmoid(t)
