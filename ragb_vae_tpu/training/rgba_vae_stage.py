@@ -499,12 +499,14 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
     # (benchmarks/results.md) without serializing the sharded axis.
     if train_cfg.get("vae_tiling", True):
         model.enable_tiling(train_cfg.get("vae_tile_sample_size"))
-    # fused whole-resnet-block Pallas kernels (forward; the VJP replays the
-    # equivalent XLA chain) — beyond-parity TPU knob, replaces slicing.
+    # fused whole-resnet-block Pallas kernels (forward AND the fused Pallas
+    # backward, ops/pallas/resnet_block.py:_bwd_kernel) — DEFAULT ON for
+    # single-chip TPU training since round 3: 4.429 vs 3.482 img/s at the
+    # 512^2 b4 accum-2 operating point (benchmarks/results.md round 3).
     # Single-device meshes only: Mosaic kernels cannot be auto-partitioned
     # by GSPMD over the sharded batch axis (benchmarks/results.md).
     if (
-        train_cfg.get("fused_kernels", False)
+        train_cfg.get("fused_kernels", True)
         and jax.default_backend() == "tpu"
         and n_devices == 1
     ):
