@@ -94,7 +94,7 @@ def build(batch):
 def main() -> None:
     print(f"device: {jax.devices()[0]}")
     results = {}
-    for batch in (1, 4):
+    for batch in (1, 2, 4):
         model, t_params, vae_params, gt = build(batch)
 
         @jax.jit
@@ -104,8 +104,12 @@ def main() -> None:
             )
 
         key = jax.random.PRNGKey(0)
-        out = sample(t_params, vae_params, gt, key)
-        float(jnp.sum(out.astype(jnp.float32)))  # compile + settle
+        try:
+            out = sample(t_params, vae_params, gt, key)
+            float(jnp.sum(out.astype(jnp.float32)))  # compile + settle
+        except Exception as exc:  # 16 GB HBM: report the envelope honestly
+            print(f"sample {SIZE}px b{batch}: OOM/failed ({type(exc).__name__})")
+            break
         t0 = time.perf_counter()
         for i in range(ITERS):
             out = sample(t_params, vae_params, gt, jax.random.fold_in(key, i))
@@ -121,11 +125,12 @@ def main() -> None:
             f"full-scale (19+38) conservative estimate >= {est_full:.3f} img/s"
         )
         results[batch] = rate
+    best = max(results)
     print(
         json.dumps(
             {
-                "metric": f"textalpha_sample_{SIZE}px_{STEPS}step_midsize",
-                "value": round(results[4], 3),
+                "metric": f"textalpha_sample_{SIZE}px_{STEPS}step_midsize_b{best}",
+                "value": round(results[best], 3),
                 "unit": "img/s/chip",
                 "vs_baseline": 0.0,
             }

@@ -1983,20 +1983,416 @@ def _subpixel_fwd_impl(x, w, bias, tile_h):
     return y.reshape(bsz, 2 * height, 2 * width, n_out), stats
 
 
+def _subpixel_bwd_kernel(
+    x_hbm,
+    g_hbm,
+    y_hbm,
+    ds_ref,
+    wb_ref,
+    dx_ref,
+    dwf_ref,
+    dbias_ref,
+    xbuf,
+    gbuf,
+    ybuf,
+    awide,
+    dyewide,
+    pbuf,
+    pxbuf,
+    dwf_acc,
+    dbias_acc,
+    sems,
+    *,
+    tile_h: int,
+    width: int,
+    n_tiles: int,
+):
+    """Fused backward for the subpixel upsample-conv (y = conv3x3(up2x(x))
+    + bias, stats = per-channel (sum, sumsq) of y).
+
+    The XLA-replay VJP this replaces materializes the 4x upsampled tensor
+    TWICE (forward replay + dUp) and runs two full-resolution convs. Here
+    everything stays in the SMALL domain:
+
+      dye = g + ds0 + 2*y*ds1       (stats-chain cotangent; g, y stream in
+                                     the (B, 2H, W, 2N) pair-channel view)
+      dx  = "conv4x4 stride 2" of dye with doubly-folded weights: the 2x2
+            cell-sum of the transpose conv re-associates exactly like the
+            forward fold — row taps {2h-1..2h+2} carry [W2, W1+W2, W0+W1,
+            W0], columns likewise, so dx costs 16 HWCN MACs (the forward's
+            own subpixel cost) as 4 MXU GEMMs with K=4N. Stride-2 row
+            access is the (T+2, 2) leading-dim regroup; stride-2 columns
+            are pair-channel halves (both free views).
+      dWf = x-patches^T @ dye(parity a, b): 8 GEMMs (K = T*W) into the
+            FOLDED-weight cotangent, grid-accumulated in fp32; the host
+            unfolds via the exact linear adjoint (jax.vjp of the fold).
+      dbias = sum dye (center rows).
+    """
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    n_b = pl.num_programs(0)
+    slot = (bi * n_tiles + hi) % 2
+    c_in = xbuf.shape[-1]
+    n2 = gbuf.shape[-1]  # = 2N (pair view)
+    n_out = n2 // 2
+    th2 = 2 * tile_h
+
+    def slab_dmas(b_idx, h_idx, into_slot):
+        # x: small-domain rows [h0-1, h0+T+1) (same geometry as the forward)
+        if n_tiles == 1:
+            yield None, pltpu.make_async_copy(
+                x_hbm.at[b_idx, pl.ds(0, tile_h), :, :],
+                xbuf.at[into_slot, pl.ds(1, tile_h), pl.ds(8, width), :],
+                sems.at[0, into_slot],
+            )
+        else:
+            h0 = h_idx * tile_h
+            if n_tiles > 2:
+                yield (
+                    jnp.logical_and(h_idx > 0, h_idx < n_tiles - 1),
+                    pltpu.make_async_copy(
+                        x_hbm.at[b_idx, pl.ds(h0 - 1, tile_h + 2), :, :],
+                        xbuf.at[into_slot, pl.ds(0, tile_h + 2), pl.ds(8, width), :],
+                        sems.at[0, into_slot],
+                    ),
+                )
+            yield h_idx == 0, pltpu.make_async_copy(
+                x_hbm.at[b_idx, pl.ds(0, tile_h + 1), :, :],
+                xbuf.at[into_slot, pl.ds(1, tile_h + 1), pl.ds(8, width), :],
+                sems.at[0, into_slot],
+            )
+            yield h_idx == n_tiles - 1, pltpu.make_async_copy(
+                x_hbm.at[b_idx, pl.ds(h0 - 1, tile_h + 1), :, :],
+                xbuf.at[into_slot, pl.ds(0, tile_h + 1), pl.ds(8, width), :],
+                sems.at[0, into_slot],
+            )
+        # g, y: 2x-domain rows [2h0-2, 2h0+2T+2) — slab row 0 is EVEN so the
+        # (T+2, 2) parity regroup aligns; only rows [1, 2T+2] are read.
+        for k, (hbm, buf) in enumerate(((g_hbm, gbuf), (y_hbm, ybuf))):
+            if n_tiles == 1:
+                yield None, pltpu.make_async_copy(
+                    hbm.at[b_idx, pl.ds(0, th2), :, :],
+                    buf.at[into_slot, pl.ds(2, th2), pl.ds(8, width), :],
+                    sems.at[k + 1, into_slot],
+                )
+                continue
+            h0 = h_idx * th2
+            if n_tiles > 2:
+                yield (
+                    jnp.logical_and(h_idx > 0, h_idx < n_tiles - 1),
+                    pltpu.make_async_copy(
+                        hbm.at[b_idx, pl.ds(h0 - 2, th2 + 4), :, :],
+                        buf.at[into_slot, pl.ds(0, th2 + 4), pl.ds(8, width), :],
+                        sems.at[k + 1, into_slot],
+                    ),
+                )
+            yield h_idx == 0, pltpu.make_async_copy(
+                hbm.at[b_idx, pl.ds(0, th2 + 2), :, :],
+                buf.at[into_slot, pl.ds(2, th2 + 2), pl.ds(8, width), :],
+                sems.at[k + 1, into_slot],
+            )
+            yield h_idx == n_tiles - 1, pltpu.make_async_copy(
+                hbm.at[b_idx, pl.ds(h0 - 2, th2 + 2), :, :],
+                buf.at[into_slot, pl.ds(0, th2 + 2), pl.ds(8, width), :],
+                sems.at[k + 1, into_slot],
+            )
+
+    def start_slabs(b_idx, h_idx, into_slot):
+        for cond, dma in slab_dmas(b_idx, h_idx, into_slot):
+            if cond is None:
+                dma.start()
+            else:
+                pl.when(cond)(dma.start)
+
+    def wait_slabs(b_idx, h_idx, into_slot):
+        for cond, dma in slab_dmas(b_idx, h_idx, into_slot):
+            if cond is None:
+                dma.wait()
+            else:
+                pl.when(cond)(dma.wait)
+
+    @pl.when(jnp.logical_and(bi == 0, hi == 0))
+    def _warm():
+        start_slabs(bi, hi, slot)
+
+    nxt = bi * n_tiles + hi + 1
+
+    @pl.when(nxt < n_b * n_tiles)
+    def _prefetch():
+        start_slabs(nxt // n_tiles, nxt % n_tiles, (slot + 1) % 2)
+
+    wait_slabs(bi, hi, slot)
+
+    # ---- dye = g + ds0 + 2*y*ds1 over the whole 2x slab ----
+    ds0 = ds_ref[0, 0][None, None, :]
+    ds1 = ds_ref[0, 1][None, None, :]
+    dye = (
+        gbuf[slot].astype(jnp.float32)
+        + ds0
+        + 2.0 * ybuf[slot].astype(jnp.float32) * ds1
+    )
+    dyewide[:] = dye.astype(dyewide.dtype)
+    # pair-column margins = dye columns outside the image -> zero
+    dyewide[:, 7, :] = jnp.zeros_like(dyewide[:, 7, :])
+    dyewide[:, 8 + width, :] = jnp.zeros_like(dyewide[:, 8 + width, :])
+
+    # halo rows outside the image: slab row 1 = dye row -1 (hi == 0), slab
+    # row 2T+2 = dye row 2H (hi == last). Rows 0 / 2T+3 are never read.
+    @pl.when(hi == 0)
+    def _zero_top():
+        dyewide[1] = jnp.zeros_like(dyewide[1])
+
+    @pl.when(hi == n_tiles - 1)
+    def _zero_bottom():
+        dyewide[th2 + 2] = jnp.zeros_like(dyewide[th2 + 2])
+
+    # column taps of dx's stride-2 conv: dye col 2w+s-1 for s in {0..3}
+    # = pair (w-1) odd | pair w even | pair w odd | pair (w+1) even
+    dvg = dyewide[:].reshape(tile_h + 2, 2, width + 16, n2)
+    pbuf[:, :, :, 0 * n_out : 1 * n_out] = dvg[:, :, 7 : 7 + width, n_out:]
+    pbuf[:, :, :, 1 * n_out : 2 * n_out] = dvg[:, :, 8 : 8 + width, :n_out]
+    pbuf[:, :, :, 2 * n_out : 3 * n_out] = dvg[:, :, 8 : 8 + width, n_out:]
+    pbuf[:, :, :, 3 * n_out : 4 * n_out] = dvg[:, :, 9 : 9 + width, :n_out]
+
+    # ---- dx: 4 GEMMs (row taps), K = 4N; dye row 2h+r-1 = group/parity ----
+    acc = jnp.zeros((tile_h * width, c_in), jnp.float32)
+    for r, (g0, par) in enumerate(((0, 1), (1, 0), (1, 1), (2, 0))):
+        acc = acc + jax.lax.dot_general(
+            pbuf[g0 : g0 + tile_h, par].reshape(tile_h * width, 4 * n_out),
+            wb_ref[r],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dx_ref[0] = acc.reshape(tile_h, width, c_in).astype(dx_ref.dtype)
+
+    # ---- dWfold: x-patches^T @ dye(parity) — 8 GEMMs, K = T*W ----
+    awide[:] = xbuf[slot]
+    awide[:, 7, :] = jnp.zeros_like(awide[:, 7, :])
+    awide[:, 8 + width, :] = jnp.zeros_like(awide[:, 8 + width, :])
+
+    @pl.when(hi == 0)
+    def _zero_top_x():
+        awide[0] = jnp.zeros_like(awide[0])
+
+    @pl.when(hi == n_tiles - 1)
+    def _zero_bottom_x():
+        awide[tile_h + 1] = jnp.zeros_like(awide[tile_h + 1])
+
+    for v in range(3):
+        pxbuf[:, :, v * c_in : (v + 1) * c_in] = awide[:, 7 + v : 7 + v + width, :]
+
+    first = jnp.logical_and(bi == 0, hi == 0)
+    # dye center rows 2h+a live at slab rows 2(Δ+1)+a = group Δ+1, parity a
+    for a in range(2):
+        dye_a = dvg[1 : tile_h + 1, a, 8 : 8 + width, :].reshape(
+            tile_h * width, n2
+        )
+        for b in range(2):
+            dye_ab = dye_a[:, b * n_out : (b + 1) * n_out]
+            for u in range(2):
+                idx = a * 4 + b * 2 + u
+                dwf_part = jax.lax.dot_general(
+                    pxbuf[a + u : a + u + tile_h, :, b * c_in : (b + 2) * c_in]
+                    .reshape(tile_h * width, 2 * c_in),
+                    dye_ab,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+                @pl.when(first)
+                def _reset(idx=idx, dwf_part=dwf_part):
+                    dwf_acc[idx] = dwf_part
+
+                @pl.when(jnp.logical_not(first))
+                def _accum(idx=idx, dwf_part=dwf_part):
+                    dwf_acc[idx] = dwf_acc[idx] + dwf_part
+
+    dwf_ref[:] = dwf_acc[:]
+
+    # ---- dbias = sum dye over the center (both pair halves) ----
+    center = dvg[1 : tile_h + 1, :, 8 : 8 + width, :].astype(jnp.float32)
+    dbias_part = jnp.sum(center.reshape(-1, 2, n_out), axis=(0, 1))
+
+    @pl.when(first)
+    def _reset_dbias():
+        dbias_acc[0] = dbias_part
+
+    @pl.when(jnp.logical_not(first))
+    def _accum_dbias():
+        dbias_acc[0] = dbias_acc[0] + dbias_part
+
+    dbias_ref[:] = dbias_acc[0]
+
+
+def _fold_subpixel_bwd_weights(w: Array) -> Array:
+    """(3, 3, C, N) -> (4, 4N, C) doubly-folded transpose weights for the
+    backward's stride-2 "conv4x4": row tap r (dye row offset r-1) sums the
+    (a, u) pairs with a+1-u = r-1 — [W2, W1+W2, W0+W1, W0] — and columns
+    fold identically; each (C, N) slice transposes into the K=4N GEMM."""
+    wf = w.astype(jnp.float32)
+    rows = [wf[2], wf[1] + wf[2], wf[0] + wf[1], wf[0]]  # (3, C, N) each
+    out = []
+    for r in rows:
+        cols = [r[2], r[1] + r[2], r[0] + r[1], r[0]]  # (C, N) each
+        out.append(jnp.concatenate([c.T for c in cols], axis=0))  # (4N, C)
+    return jnp.stack(out, axis=0)
+
+
+def _subpixel_bwd_vmem_bytes(tile_h, width, c_in, n_out, itemsize):
+    n2 = 2 * n_out
+    return (
+        2 * (tile_h + 2) * (width + 16) * c_in * itemsize      # xbuf x2
+        + 2 * 2 * (2 * tile_h + 4) * (width + 16) * n2 * itemsize  # g, y x2
+        + (tile_h + 2) * (width + 16) * c_in * itemsize        # awide
+        + (2 * tile_h + 4) * (width + 16) * n2 * itemsize      # dyewide
+        + (2 * tile_h + 4) * (width + 16) * n2 * 4             # dye transient
+        + (tile_h + 2) * 2 * width * 4 * n_out * itemsize      # pbuf
+        + (tile_h + 2) * width * 3 * c_in * itemsize           # pxbuf
+        + tile_h * width * c_in * 4                            # dx accumulator
+        + 8 * 2 * c_in * n_out * 4                             # dwf_acc fp32
+        + 4 * 4 * n_out * c_in * itemsize                      # folded weights
+        + 2 * tile_h * width * c_in * itemsize                 # dx out (2x)
+    )
+
+
+SUBPIXEL_BWD_TILE_BUDGET = 70 * 1024 * 1024
+
+
+def _subpixel_bwd_pick_tile(height, width, c_in, n_out, itemsize):
+    for tile_h in (16, 8, 4, 2):
+        if height % tile_h != 0:
+            continue
+        if (
+            _subpixel_bwd_vmem_bytes(tile_h, width, c_in, n_out, itemsize)
+            <= SUBPIXEL_BWD_TILE_BUDGET
+        ):
+            return tile_h
+    return None
+
+
+def _subpixel_bwd_impl(x, w, bias, y, gy, gstats, tile_h):
+    """Pallas fused backward; returns (dx, dw, dbias)."""
+    bsz, height, width, c_in = x.shape
+    n_out = w.shape[-1]
+    itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+    n_tiles = height // tile_h
+
+    g6 = gy.astype(x.dtype).reshape(bsz, 2 * height, width, 2 * n_out)
+    y6 = y.reshape(bsz, 2 * height, width, 2 * n_out)
+    # pair-channel layout repeats each n for both column parities
+    ds = jnp.concatenate([gstats, gstats], axis=-1).astype(jnp.float32)
+    wb = _fold_subpixel_bwd_weights(w).astype(x.dtype)
+
+    vmem = _subpixel_bwd_vmem_bytes(tile_h, width, c_in, n_out, itemsize)
+    kernel = functools.partial(
+        _subpixel_bwd_kernel, tile_h=tile_h, width=width, n_tiles=n_tiles
+    )
+    dx, dwf, dbias = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 2, 2 * n_out), lambda bi, hi: (bi, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (4, 4 * n_out, c_in), lambda bi, hi: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, tile_h, width, c_in),
+                lambda bi, hi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, 2 * c_in, n_out), lambda bi, hi: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, height, width, c_in), x.dtype),
+            jax.ShapeDtypeStruct((8, 2 * c_in, n_out), jnp.float32),
+            jax.ShapeDtypeStruct((n_out,), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2, width + 16, c_in), x.dtype),
+            pltpu.VMEM((2, 2 * tile_h + 4, width + 16, 2 * n_out), x.dtype),
+            pltpu.VMEM((2, 2 * tile_h + 4, width + 16, 2 * n_out), x.dtype),
+            pltpu.VMEM((tile_h + 2, width + 16, c_in), x.dtype),
+            pltpu.VMEM((2 * tile_h + 4, width + 16, 2 * n_out), x.dtype),
+            pltpu.VMEM((tile_h + 2, 2, width, 4 * n_out), x.dtype),
+            pltpu.VMEM((tile_h + 2, width, 3 * c_in), x.dtype),
+            pltpu.VMEM((8, 2 * c_in, n_out), jnp.float32),
+            pltpu.VMEM((1, n_out), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem * 1.5) + (2 << 20), 127 * 1024 * 1024),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 32 * bsz * height * width * c_in * n_out,
+            bytes_accessed=(x.size + 2 * 8 * bsz * height * width * n_out)
+            * itemsize,
+            transcendentals=0,
+        ),
+        interpret=INTERPRET,
+    )(x, g6, y6, ds, wb)
+
+    # unfold the folded-weight cotangent: the fold is linear, so its exact
+    # adjoint is jax.vjp of the fold itself (fp32, matching the forward fold)
+    dwf = dwf.reshape(2, 2, 2, 2 * c_in, n_out)
+    _, unfold = jax.vjp(_fold_subpixel_weights, w.astype(jnp.float32))
+    (dw,) = unfold(dwf)
+    return dx, dw.astype(w.dtype), dbias.astype(bias.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _subpixel_chain(x, w, bias, tile_h):
     return _subpixel_fwd_impl(x, w, bias, tile_h)
 
 
 def _subpixel_fwd(x, w, bias, tile_h):
-    return _subpixel_fwd_impl(x, w, bias, tile_h), (x, w, bias)
+    out = _subpixel_fwd_impl(x, w, bias, tile_h)
+    y, _ = out
+    # y is this op's own output (already in HBM): saving it is free and
+    # lets the fused backward form dye = g + ds0 + 2*y*ds1 directly.
+    return out, (x, w, bias, y)
 
 
 def _subpixel_bwd(tile_h, residuals, g):
-    x, w, bias = residuals
+    x, w, bias, y = residuals
+    gy, gstats = g
+    use_kernel = SUBPIXEL_BACKWARD == "kernel"
+    if use_kernel and not INTERPRET:
+        try:
+            use_kernel = jax.default_backend() == "tpu"
+        except Exception:
+            use_kernel = False
+    if use_kernel:
+        itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+        picked = _subpixel_bwd_pick_tile(
+            x.shape[1], x.shape[2], x.shape[3], w.shape[-1], itemsize
+        )
+        # small-domain shapes below ~128^2 px measured FASTER on the XLA
+        # VJP (0.86x at 64->128 C512 b4 vs 1.4-2.3x wins above —
+        # benchmarks/subpixel_bwd_bench.py); route by pixel count.
+        use_kernel = (
+            picked is not None
+            and x.shape[1] * x.shape[2] >= SUBPIXEL_BWD_MIN_PIXELS
+        )
+    if use_kernel:
+        return _subpixel_bwd_impl(x, w, bias, y, gy, gstats, picked)
     _, vjp = jax.vjp(_xla_upsample_conv, x, w, bias)
     return vjp(g)
 
+
+# "kernel": fused Pallas backward; "xla": restate + jax.vjp (replays the
+# literal nearest-2x + conv3x3 forward and materializes the 4x tensor).
+SUBPIXEL_BACKWARD = "kernel"
+SUBPIXEL_BWD_MIN_PIXELS = 128 * 128
 
 _subpixel_chain.defvjp(_subpixel_fwd, _subpixel_bwd)
 

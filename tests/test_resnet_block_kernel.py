@@ -215,6 +215,67 @@ def test_subpixel_upsample_conv_grads():
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "h,w,c,n,budget",
+    [
+        (8, 128, 128, 256, None),          # single tile, n != c
+        (16, 128, 128, 128, 4),            # forced tile 4 -> first/mid/last clamps
+    ],
+)
+def test_subpixel_backward_fused_matches_xla(h, w, c, n, budget, monkeypatch):
+    """The fused Pallas subpixel backward == the XLA-replay VJP, including
+    the stats-chain cotangent and dbias."""
+    monkeypatch.setattr(rb, "SUBPIXEL_BWD_MIN_PIXELS", 0)
+    if budget is not None:
+        monkeypatch.setattr(
+            rb,
+            "SUBPIXEL_BWD_TILE_BUDGET",
+            rb._subpixel_bwd_vmem_bytes(budget, w, c, n, 4) + 1,
+        )
+        assert rb._subpixel_bwd_pick_tile(h, w, c, n, 4) == budget
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
+    wk = jnp.asarray(rng.standard_normal((3, 3, c, n)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(n) * 0.1, jnp.float32)
+    wstat = jnp.asarray(rng.standard_normal((2, 2, n)) * 0.01, jnp.float32)
+
+    def run(fn):
+        def loss(x_, w_, b_):
+            y, stats = fn(x_, w_, b_)
+            return jnp.sum(y * y) + jnp.sum(stats * wstat)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(x, wk, bias)
+
+    got = run(rb.fused_upsample_conv3x3_stats)
+    want = run(rb._xla_upsample_conv)
+    for g, r, name in zip(got, want, ("dx", "dw", "dbias")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-3, atol=2e-3, err_msg=name
+        )
+
+
+def test_subpixel_bwd_weight_fold_is_transpose_conv():
+    """The doubly-folded (4, 4N, C) backward weights reproduce the literal
+    transpose-conv + 2x2 cell-sum on a tiny example."""
+    rng = np.random.default_rng(31)
+    w = jnp.asarray(rng.standard_normal((3, 3, 1, 1)), jnp.float32)
+    dye = jnp.asarray(rng.standard_normal((1, 8, 8, 1)), jnp.float32)
+    # reference: dUp = conv(dye, flip(w^T)); dx = 2x2 cell sum
+    _, vjp = jax.vjp(lambda x: rb._xla_upsample_conv(x, w, jnp.zeros(1))[0],
+                     jnp.zeros((1, 4, 4, 1)))
+    (dx_ref,) = vjp(dye)
+    wb = np.asarray(rb._fold_subpixel_bwd_weights(w))  # (4, 4, 1)
+    pad = np.zeros((12, 12))
+    pad[2:10, 2:10] = np.asarray(dye)[0, :, :, 0]
+    dx = np.zeros((4, 4))
+    for hh in range(4):
+        for ww in range(4):
+            for r in range(4):
+                for s in range(4):
+                    dx[hh, ww] += wb[r, s, 0] * pad[2 * hh + r + 1, 2 * ww + s + 1]
+    np.testing.assert_allclose(dx, np.asarray(dx_ref)[0, :, :, 0], rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("h,w,c", [(16, 128, 128), (8, 256, 128)])
 def test_downsample_conv_matches_literal(h, w, c):
     """Dense-GEMM stride-2 kernel == literal conv3x3 stride-2 pad (0,1)."""
