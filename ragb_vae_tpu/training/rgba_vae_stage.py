@@ -18,6 +18,7 @@ Behavioral parity with the reference `train_rgba_vae`
 """
 from __future__ import annotations
 
+import dataclasses
 import sys
 import time
 from pathlib import Path
@@ -500,16 +501,27 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
     if train_cfg.get("vae_tiling", True):
         model.enable_tiling(train_cfg.get("vae_tile_sample_size"))
     # fused whole-resnet-block Pallas kernels (forward AND the fused Pallas
-    # backward, ops/pallas/resnet_block.py:_bwd_kernel) — DEFAULT ON for
-    # single-chip TPU training since round 3: 4.429 vs 3.482 img/s at the
-    # 512^2 b4 accum-2 operating point (benchmarks/results.md round 3).
-    # Single-device meshes only: Mosaic kernels cannot be auto-partitioned
-    # by GSPMD over the sharded batch axis (benchmarks/results.md).
+    # backwards, ops/pallas/resnet_block.py) — DEFAULT ON for TPU training
+    # since round 3: 4.896 vs 3.482 img/s at the 512^2 b4 accum-2 operating
+    # point (benchmarks/results.md round 3). Mosaic kernels cannot be
+    # auto-partitioned by GSPMD over a sharded batch axis, so multi-device
+    # meshes run them only inside the explicit shard_map ZeRO-2 step (the
+    # step body is per-device, same pattern as the shard_mapped flash
+    # attention); the GSPMD train step keeps the sliced XLA path.
+    zero_impl = str(train_cfg.get("zero_impl", "gspmd")).lower()
+    eval_model = model
     if (
         train_cfg.get("fused_kernels", True)
         and jax.default_backend() == "tpu"
-        and n_devices == 1
+        and (n_devices == 1 or zero_impl == "shard_map")
     ):
+        if n_devices > 1:
+            # eval/vis run under GSPMD jit (batch-sharded), which cannot
+            # partition the kernels: give them an unfused twin — the param
+            # tree is identical, only the compute path differs.
+            eval_model = dataclasses.replace(model, fused=False)
+            if train_cfg.get("vae_slicing", True):
+                eval_model.enable_slicing(mesh=mesh)
         model.enable_fused()
     elif train_cfg.get("vae_slicing", True):
         model.enable_slicing(mesh=mesh)
@@ -588,7 +600,6 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
     # collectives) or "shard_map" (explicit reduce-scatter / per-shard
     # AdamW / all-gather, the literal DeepSpeed ZeRO-2 dataflow;
     # parallel/zero_step.py). Numerics match; shard_map is auditable.
-    zero_impl = str(train_cfg.get("zero_impl", "gspmd")).lower()
     if zero_impl == "shard_map":
         from functools import partial as _partial
 
@@ -634,7 +645,7 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
             lpips_fn=lpips_fn,
             opt_state_example=jax.eval_shape(tx.init, params),
         )
-    eval_step = make_eval_step(model, mesh=mesh) if val_loader is not None else None
+    eval_step = make_eval_step(eval_model, mesh=mesh) if val_loader is not None else None
 
     global_step = 0
     start_step = 0

@@ -256,3 +256,27 @@ def test_auto_resume_and_ckpt_pruning(tiny_ckpt, data_tree, tmp_path):
     )
     metrics = train_rgba_vae(resume_cfg)
     assert metrics["global_step"] == 3.0
+
+
+def test_train_rgba_vae_shard_map_fused_multidevice(
+    tiny_ckpt, data_tree, tmp_path, monkeypatch
+):
+    """fused_kernels + zero_impl=shard_map on a multi-device mesh: the
+    fused model runs INSIDE the per-device shard_map step (Mosaic kernels
+    are legal there) while eval gets an unfused GSPMD-safe twin. On the
+    CPU mesh the kernels themselves fall back to the XLA chain (backend /
+    alignment gates), so this pins the routing and the eval-twin plumbing."""
+    import ragb_vae_tpu.ops.pallas.flash_attention as fa
+    import ragb_vae_tpu.training.rgba_vae_stage as stage
+
+    monkeypatch.setattr(stage.jax, "default_backend", lambda: "tpu")
+    # the fused model's mid-block flash attention believes it is on TPU
+    # (backend monkeypatched): run it interpreted on the CPU mesh
+    monkeypatch.setattr(fa, "INTERPRET", True)
+    cfg = _make_cfg(
+        tiny_ckpt, data_tree, tmp_path,
+        zero_impl="shard_map", fused_kernels=True, max_steps=2,
+    )
+    metrics = stage.train_rgba_vae(cfg)
+    assert np.isfinite(metrics["train/loss"])
+    assert metrics["global_step"] == 2.0
