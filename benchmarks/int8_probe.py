@@ -23,22 +23,31 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-ITERS = 20
+ITERS = (200, 2200)  # two-point: (t2-t1)/(n2-n1) cancels the ~30 ms tunnel RPC
 
 
 def timed(fn, *args, iters=ITERS):
-    @jax.jit
-    def chain(*a):
-        def body(i, carry):
-            out = fn(carry, *a[1:])
-            return carry + out.astype(carry.dtype) * 1e-9
+    def run(n):
+        from functools import partial
 
-        return lax.fori_loop(0, iters, body, a[0] * 1.0)
+        @partial(jax.jit, static_argnums=0)
+        def chain(n, *a):
+            def body(i, carry):
+                out = fn(carry, *a[1:])
+                # scalar feedback keeps the loop sequential without
+                # requiring fn's output shape to match the carry
+                return carry + jnp.sum(out).astype(carry.dtype) * 1e-20
 
-    float(jnp.sum(chain(*args).astype(jnp.float32)))
-    t0 = time.perf_counter()
-    float(jnp.sum(chain(*args).astype(jnp.float32)))
-    return (time.perf_counter() - t0) / iters
+            return lax.fori_loop(0, n, body, a[0] * 1.0)
+
+        float(jnp.sum(chain(n, *args).astype(jnp.float32)))
+        t0 = time.perf_counter()
+        float(jnp.sum(chain(n, *args).astype(jnp.float32)))
+        return time.perf_counter() - t0
+
+    n1, n2 = iters
+    t1, t2 = run(n1), run(n2)
+    return (t2 - t1) / (n2 - n1)
 
 
 def rate_probe() -> None:
