@@ -125,7 +125,7 @@ def main() -> None:
             f"full-scale (19+38) conservative estimate >= {est_full:.3f} img/s"
         )
         results[batch] = rate
-    best = max(results)
+    best = max(results, key=results.get)
     print(
         json.dumps(
             {

@@ -58,10 +58,19 @@ def accumulated_grads(
         )
         return acc, None
 
+    # Zero-init carry and scan over ALL microbatches. Peeling the first
+    # microbatch out of the scan (the previous design) duplicates the
+    # entire fwd+bwd graph in the program — XLA does not share buffers
+    # between the peeled call and the scan body, which cost ~2.3 GB of
+    # HLO temps at 1024^2 and OOM'd effective-b2 on 16 GB. The zeros
+    # init is one memset over the grads tree (~params size), free.
     first_mb = jax.tree_util.tree_map(lambda x: x[0], micro)
-    (loss0, aux0), grads0 = grad_fn(params, first_mb, keys[0])
-    rest = jax.tree_util.tree_map(lambda x: x[1:], micro)
-    (loss, aux, grads), _ = jax.lax.scan(body, (loss0, aux0, grads0), (rest, keys[1:]))
+    (loss_sh, aux_sh), grads_sh = jax.eval_shape(grad_fn, params, first_mb, keys[0])
+    zeros = lambda tree: jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), tree
+    )
+    init = (zeros(loss_sh), zeros(aux_sh), zeros(grads_sh))
+    (loss, aux, grads), _ = jax.lax.scan(body, init, (micro, keys))
 
     inv = 1.0 / num_micro
     scale = lambda t: jax.tree_util.tree_map(lambda x: x * inv, t)
