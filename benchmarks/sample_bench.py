@@ -92,9 +92,14 @@ def build(batch):
 
 
 def main() -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batches", type=int, nargs="*", default=[1, 2, 4])
+    args = parser.parse_args()
     print(f"device: {jax.devices()[0]}")
     results = {}
-    for batch in (1, 2, 4):
+    for batch in args.batches:
         model, t_params, vae_params, gt = build(batch)
 
         @jax.jit
@@ -107,13 +112,15 @@ def main() -> None:
         try:
             out = sample(t_params, vae_params, gt, key)
             float(jnp.sum(out.astype(jnp.float32)))  # compile + settle
+            t0 = time.perf_counter()
+            for i in range(ITERS):
+                out = sample(t_params, vae_params, gt, jax.random.fold_in(key, i))
+            float(jnp.sum(out.astype(jnp.float32)))
         except Exception as exc:  # 16 GB HBM: report the envelope honestly
+            # (runtime OOM can also strike mid-loop after a clean warmup —
+            # observed at b2: ResourceExhausted from the fused decode)
             print(f"sample {SIZE}px b{batch}: OOM/failed ({type(exc).__name__})")
             break
-        t0 = time.perf_counter()
-        for i in range(ITERS):
-            out = sample(t_params, vae_params, gt, jax.random.fold_in(key, i))
-        float(jnp.sum(out.astype(jnp.float32)))
         dt = (time.perf_counter() - t0) / ITERS
         rate = batch / dt
         # full-scale estimate: transformer share scales with block count
@@ -125,6 +132,9 @@ def main() -> None:
             f"full-scale (19+38) conservative estimate >= {est_full:.3f} img/s"
         )
         results[batch] = rate
+    if not results:
+        print("no batch completed; nothing to report")
+        return
     best = max(results, key=results.get)
     print(
         json.dumps(

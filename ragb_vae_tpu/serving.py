@@ -1,0 +1,319 @@
+"""Batched text-alpha inference serving (daemon core + dynamic batcher).
+
+Beyond-parity component: the reference ships only the one-shot CLI
+(`inference_rgba_flux.py:65-116`); production serving on TPU wants the
+opposite shape — a resident process with warm compiled programs and a
+dynamic batcher, because on TPU the sampler's throughput comes from
+batching (benchmarks/sample_bench.py) and every distinct input shape is
+a fresh XLA compile. The design here is TPU-first:
+
+- **Static shapes**: requests are snapped host-side to a small bucket
+  envelope (`snap_size`) and every launch is padded to the configured
+  `max_batch`, so the process compiles exactly one program per bucket
+  and reuses it forever (jit cache keyed on shapes).
+- **Dynamic batching**: a background thread drains the request queue,
+  groups by bucket, and launches when `max_batch` requests are waiting
+  or `max_delay_ms` has passed — the standard latency/throughput knob.
+- **Per-request determinism**: all sampling noise (posterior eps, latent
+  init, per-step re-noising) is drawn from the REQUEST's own key via a
+  vmapped fold, then injected into the deterministic sampling core
+  (`sample_latents_from_noise`). Results are a function of (image, seed)
+  only — independent of co-batched traffic and of the batch padding.
+
+`scripts/serve.py` wraps this in a stdlib HTTP daemon.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+PyTree = Any
+
+
+def snap_size(
+    height: int,
+    width: int,
+    *,
+    multiple: int = 64,
+    min_side: int = 64,
+    max_pixels: int = 1024 * 1024,
+) -> Tuple[int, int]:
+    """Snap an arbitrary request size onto the serving bucket envelope.
+
+    Preserves aspect ratio, rounds each side to `multiple` (the packed
+    latent needs H and W divisible by 2 * vae_scale_factor = 16; 64 keeps
+    the bucket count small, mirroring the reference's bucket grid in
+    prepare_rgba_buckets.py:33-35), and scales down if the rounded area
+    exceeds `max_pixels`.
+    """
+    if height <= 0 or width <= 0:
+        raise ValueError(f"Invalid image size {height}x{width}.")
+    h = max(min_side, int(round(height / multiple)) * multiple)
+    w = max(min_side, int(round(width / multiple)) * multiple)
+    if h * w > max_pixels:
+        scale = (max_pixels / (h * w)) ** 0.5
+        h = max(min_side, int(h * scale) // multiple * multiple)
+        w = max(min_side, int(w * scale) // multiple * multiple)
+    return h, w
+
+
+def resize_rgba(image: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Bilinear-resize an (H, W, 4) float [0,1] image to `size` (h, w)."""
+    if image.ndim != 3 or image.shape[-1] != 4:
+        raise ValueError(f"Expected (H, W, 4) RGBA, got {image.shape}.")
+    if image.shape[:2] == tuple(size):
+        return image
+    from PIL import Image
+
+    arr = (np.clip(image, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    out = Image.fromarray(arr, mode="RGBA").resize(
+        (size[1], size[0]), Image.BILINEAR
+    )
+    return np.asarray(out, dtype=np.float32) / 255.0
+
+
+@dataclass
+class ServeConfig:
+    max_batch: int = 4
+    max_delay_ms: float = 30.0
+    steps: int = 20
+    bucket_multiple: int = 64
+    max_pixels: int = 1024 * 1024
+    request_timeout_s: float = 300.0
+
+
+@dataclass
+class _Request:
+    image: np.ndarray          # bucket-sized (H, W, 4) float32 [0, 1]
+    orig_size: Tuple[int, int]
+    seed: int
+    future: "Future[np.ndarray]" = field(default_factory=Future)
+
+
+class InferenceServer:
+    """Resident batched sampler around a FluxTextAlphaModel.
+
+    `submit()` is thread-safe and returns a Future resolving to the
+    predicted text-alpha RGBA (H, W, 4) float32 at the REQUEST's original
+    size. `start()`/`stop()` manage the batcher thread; the object is
+    also a context manager.
+    """
+
+    def __init__(
+        self,
+        model,
+        t_params: PyTree,
+        vae_params: PyTree,
+        config: Optional[ServeConfig] = None,
+    ) -> None:
+        import jax
+
+        self.model = model
+        self.t_params = t_params
+        self.vae_params = vae_params
+        self.config = config or ServeConfig()
+        self._queues: Dict[Tuple[int, int], "queue.Queue[_Request]"] = {}
+        self._queues_lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._served = 0
+        self._step = jax.jit(self._build_step())
+
+    # -- jitted core ---------------------------------------------------
+    def _build_step(self):
+        import jax
+        import jax.numpy as jnp
+
+        model = self.model
+        steps = self.config.steps
+
+        def step(t_params, vae_params, gt, seeds):
+            posterior = model.vae.encode(
+                vae_params, (gt * 2.0 - 1.0).astype(model.dtype)
+            )
+            lat_shape = posterior.mean.shape[1:]
+
+            def draw(seed):
+                key = jax.random.PRNGKey(seed)
+                k_enc, k_init, k_loop = jax.random.split(key, 3)
+                eps = jax.random.normal(k_enc, lat_shape, jnp.float32)
+                init = jax.random.normal(k_init, lat_shape, jnp.float32)
+                per_step = jax.vmap(
+                    lambda i: jax.random.normal(
+                        jax.random.fold_in(k_loop, i), lat_shape, jnp.float32
+                    )
+                )(jnp.arange(steps))
+                return eps, init, per_step
+
+            eps, init, per_step = jax.vmap(draw)(seeds)
+            # mirrors encode_latents (flux_kontext_textalpha.py:329-333)
+            # with the request's own posterior noise
+            latents = posterior.mean.astype(jnp.float32) + posterior.std.astype(
+                jnp.float32
+            ) * eps
+            cond = (latents - model.shift_factor) * model.scaling_factor
+            step_noises = jnp.moveaxis(per_step, 1, 0)  # (steps, B, h, w, C)
+            lat = model.sample_latents_from_noise(t_params, cond, init, step_noises)
+            decoded = model.vae.decode(
+                vae_params,
+                (lat / model.scaling_factor + model.shift_factor).astype(model.dtype),
+            )
+            return jnp.clip((decoded.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+
+        return step
+
+    # -- public API ----------------------------------------------------
+    def submit(self, image: np.ndarray, *, seed: Optional[int] = None) -> "Future[np.ndarray]":
+        """Enqueue one RGBA image; returns a Future of the prediction."""
+        if self._stop.is_set():
+            raise RuntimeError("InferenceServer is stopped.")
+        image = np.asarray(image, dtype=np.float32)
+        if image.ndim != 3 or image.shape[-1] != 4:
+            raise ValueError(
+                f"submit() expects one (H, W, 4) RGBA image, got {image.shape}."
+            )
+        orig = (image.shape[0], image.shape[1])
+        bucket = snap_size(
+            *orig,
+            multiple=self.config.bucket_multiple,
+            max_pixels=self.config.max_pixels,
+        )
+        req = _Request(
+            image=resize_rgba(image, bucket),
+            orig_size=orig,
+            seed=int(seed) if seed is not None else int(time.time_ns() % (2**31)),
+        )
+        with self._queues_lock:
+            q = self._queues.setdefault(bucket, queue.Queue())
+        q.put(req)
+        self._wake.set()
+        return req.future
+
+    def warmup(self, sizes: Optional[List[Tuple[int, int]]] = None) -> None:
+        """Pre-compile the serving program for the given bucket sizes.
+
+        Cold-start compiles are minutes-long on TPU; a daemon should pay
+        them at startup, not on the first request (which would otherwise
+        burn the request's timeout budget on XLA).
+        """
+        import jax.numpy as jnp
+
+        for size in sizes or [(512, 512)]:
+            bucket = snap_size(
+                *size,
+                multiple=self.config.bucket_multiple,
+                max_pixels=self.config.max_pixels,
+            )
+            images = np.zeros((self.config.max_batch,) + bucket + (4,), np.float32)
+            seeds = np.zeros((self.config.max_batch,), np.uint32)
+            self._step(
+                self.t_params, self.vae_params, jnp.asarray(images), jnp.asarray(seeds)
+            ).block_until_ready()
+
+    def start(self) -> "InferenceServer":
+        if self._thread is None:
+            self._thread = threading.Thread(
+                target=self._run, name="ragb-serve-batcher", daemon=True
+            )
+            self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._wake.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30.0)
+            self._thread = None
+
+    def __enter__(self) -> "InferenceServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    @property
+    def stats(self) -> Dict[str, int]:
+        with self._queues_lock:
+            pending = sum(q.qsize() for q in self._queues.values())
+        return {"served": self._served, "pending": pending}
+
+    # -- batcher -------------------------------------------------------
+    def _run(self) -> None:
+        max_delay = self.config.max_delay_ms / 1000.0
+        while not self._stop.is_set():
+            batch = self._collect(max_delay)
+            if batch is None:
+                continue
+            bucket, reqs = batch
+            try:
+                self._launch(reqs)
+            except Exception as exc:  # surface failures on the futures
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(exc)
+        # drain: fail anything still queued
+        with self._queues_lock:
+            queues = list(self._queues.values())
+        for q in queues:
+            while True:
+                try:
+                    req = q.get_nowait()
+                except queue.Empty:
+                    break
+                if not req.future.done():
+                    req.future.set_exception(RuntimeError("Server stopped."))
+
+    def _collect(self, max_delay: float) -> Optional[Tuple[Tuple[int, int], List[_Request]]]:
+        """Pick the bucket with the most waiters; launch when full or aged."""
+        deadline = None
+        while not self._stop.is_set():
+            with self._queues_lock:
+                ready = [(q.qsize(), b, q) for b, q in self._queues.items() if q.qsize()]
+            if not ready:
+                self._wake.wait(timeout=0.1)
+                self._wake.clear()
+                deadline = None
+                continue
+            ready.sort(reverse=True, key=lambda t: t[0])
+            size, bucket, q = ready[0]
+            if size >= self.config.max_batch:
+                return bucket, self._take(q, self.config.max_batch)
+            now = time.monotonic()
+            if deadline is None:
+                deadline = now + max_delay
+            if now >= deadline:
+                return bucket, self._take(q, self.config.max_batch)
+            self._wake.wait(timeout=deadline - now)
+            self._wake.clear()
+        return None
+
+    @staticmethod
+    def _take(q: "queue.Queue[_Request]", n: int) -> List[_Request]:
+        out: List[_Request] = []
+        while len(out) < n:
+            try:
+                out.append(q.get_nowait())
+            except queue.Empty:
+                break
+        return out
+
+    def _launch(self, reqs: List[_Request]) -> None:
+        import jax.numpy as jnp
+
+        n = len(reqs)
+        pad = self.config.max_batch - n
+        images = np.stack([r.image for r in reqs] + [reqs[0].image] * pad)
+        seeds = np.asarray([r.seed for r in reqs] + [0] * pad, dtype=np.uint32)
+        out = np.asarray(
+            self._step(self.t_params, self.vae_params, jnp.asarray(images), jnp.asarray(seeds))
+        )
+        for r, pred in zip(reqs, out[:n]):
+            r.future.set_result(resize_rgba(pred, r.orig_size))
+            self._served += 1
