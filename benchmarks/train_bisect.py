@@ -67,7 +67,7 @@ def main() -> None:
     def enc_grad(x_, params):
         def loss(p):
             post = model.encode(p, x_)
-            return jnp.mean(jnp.square(post.astype(jnp.float32)))
+            return jnp.mean(jnp.square(post.params.astype(jnp.float32)))
         return jax.grad(loss)(params)["encoder"]["conv_in"]["kernel"].astype(
             jnp.float32
         ).sum()
@@ -83,7 +83,7 @@ def main() -> None:
     def lpips_grad(x_, params):
         def loss(p):
             y = model.decode(p, z)
-            return jnp.mean(lpips_fn(y[..., :3], x_[..., :3]))
+            return jnp.mean(lpips_fn(y, x_))
         return jax.grad(loss)(params)["decoder"]["conv_in"]["kernel"].astype(
             jnp.float32
         ).sum()

@@ -94,20 +94,27 @@ def lpips_features(x: Array, params: LPIPSParams, *, remat: bool = True) -> List
     return outputs
 
 
-def lpips_distance(x: Array, y: Array, params: LPIPSParams) -> Array:
-    """Per-sample LPIPS distance, inputs NHWC RGB in [-1, 1] -> (B,)."""
+def lpips_distance(pred: Array, target: Array, params: LPIPSParams) -> Array:
+    """Per-sample LPIPS distance, inputs NHWC RGB in [-1, 1] -> (B,).
+
+    The VALUE is symmetric in (pred, target); the GRADIENT is not:
+    `target` is detached (the reference computes lpips against data, whose
+    torch graph carries no grad), which also lets XLA drop the target
+    stream's backward residuals. Round-3 bug fix: the stop_gradient used
+    to land on the stream the callers passed PRED through, silently
+    zeroing the entire perceptual gradient in training
+    (tests/test_lpips.py::test_lpips_gradient_flows_through_pred pins
+    the fix).
+    """
     shift = jnp.asarray(_SHIFT)
     scale = jnp.asarray(_SCALE)
     import jax
 
-    x_in = (x.astype(jnp.float32) - shift) / scale
-    # the reference target is detached (losses.py computes lpips against
-    # data); the explicit stop_gradient also lets XLA drop the whole
-    # y-stream's backward residuals
-    y_in = jax.lax.stop_gradient((y.astype(jnp.float32) - shift) / scale)
+    x_in = (pred.astype(jnp.float32) - shift) / scale
+    y_in = jax.lax.stop_gradient((target.astype(jnp.float32) - shift) / scale)
     feats_x = lpips_features(x_in, params)
     feats_y = lpips_features(y_in, params)
-    total = jnp.zeros(x.shape[0], dtype=jnp.float32)
+    total = jnp.zeros(pred.shape[0], dtype=jnp.float32)
     for fx, fy, lin in zip(feats_x, feats_y, params.lins):
         diff = (_normalize_tensor(fx) - _normalize_tensor(fy)) ** 2
         weighted = diff * jnp.asarray(lin)
@@ -179,8 +186,8 @@ def maybe_build_lpips(
 
     def perceptual_loss(pred: Array, target: Array, weights: Optional[Array] = None) -> Array:
         pred_black, target_black, pred_white, target_white = perceptual_composites(pred, target)
-        loss_black = lpips_distance(target_black, pred_black, params)
-        loss_white = lpips_distance(target_white, pred_white, params)
+        loss_black = lpips_distance(pred_black, target_black, params)
+        loss_white = lpips_distance(pred_white, target_white, params)
         per_sample = 0.5 * (loss_black + loss_white)
         if weights is None:
             return per_sample.mean()

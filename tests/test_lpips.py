@@ -126,3 +126,30 @@ def test_lpips_in_training_step(lpips_ckpt):
     _, _, metrics = step(params, opt_state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["train/loss"]))
     assert float(metrics["train/lpips"]) > 0.0
+
+
+def test_lpips_gradient_flows_through_pred(lpips_ckpt):
+    """Round-3 regression: the perceptual term must backprop through PRED
+    and be flat in TARGET. The stop_gradient used to land on the stream
+    callers passed pred through, silently zeroing the entire LPIPS
+    gradient in training (found by benchmarks/train_bisect.py when XLA
+    dead-code-eliminated the whole decode+LPIPS backward)."""
+    import jax
+
+    path, _ = lpips_ckpt
+    fn = maybe_build_lpips(path)
+    rng = np.random.default_rng(11)
+    pred = jnp.asarray(rng.uniform(-1, 1, size=(1, 16, 16, 4)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(-1, 1, size=(1, 16, 16, 4)).astype(np.float32))
+
+    g_pred = jax.grad(lambda p: fn(p, target).sum())(pred)
+    g_target = jax.grad(lambda t: fn(pred, t).sum())(target)
+    assert float(jnp.linalg.norm(g_pred)) > 0.0
+    np.testing.assert_allclose(np.asarray(g_target), 0.0)
+
+    # and through the raw distance too
+    params = load_lpips_params(path)
+    g = jax.grad(
+        lambda p: jnp.sum(lpips_distance(p[..., :3], target[..., :3], params))
+    )(pred)
+    assert float(jnp.linalg.norm(g)) > 0.0
