@@ -94,6 +94,7 @@ def train_step_mode(
     iters: int,
     *,
     lpips: bool = True,
+    lpips_fp32: bool = False,
     grad_accum: int = 1,
     slicing: bool = True,
     tile: int = 0,
@@ -129,7 +130,10 @@ def train_step_mode(
 
         tmp = _Path(tempfile.mkdtemp()) / "lpips_vgg.safetensors"
         save_torch_state(make_lpips_state(seed=0), tmp)
-        lpips_fn = maybe_build_lpips(tmp)
+        # bf16 VGG convs, matching the training stage under mixed precision
+        lpips_fn = maybe_build_lpips(
+            tmp, compute_dtype=None if lpips_fp32 else jnp.bfloat16
+        )
 
     config = AutoencoderConfig.flux()
     config.in_channels = 4
@@ -215,6 +219,9 @@ def main() -> None:
     )
     parser.add_argument("--no-lpips", action="store_true",
                         help="train_step mode: drop the LPIPS term")
+    parser.add_argument("--lpips-fp32", action="store_true",
+                        help="train_step mode: run the VGG convs in fp32 "
+                        "(default bf16, the reference autocast dtype) for A/B")
     parser.add_argument("--grad-accum", type=int, default=1,
                         help="train_step mode: in-step gradient accumulation "
                         "(microbatch = batch / accum; the 16 GB memory lever)")
@@ -247,7 +254,7 @@ def main() -> None:
             (args.height, args.size) if args.height else args.size,
             args.batches[0], args.iters, lpips=not args.no_lpips,
             grad_accum=args.grad_accum, slicing=not args.no_slicing,
-            tile=args.tile, fused=args.train_fused,
+            tile=args.tile, fused=args.train_fused, lpips_fp32=args.lpips_fp32,
         )
         return
 

@@ -55,7 +55,13 @@ def _max_pool_2x2(x: Array) -> Array:
     )
 
 
-def lpips_features(x: Array, params: LPIPSParams, *, remat: bool = True) -> List[Array]:
+def lpips_features(
+    x: Array,
+    params: LPIPSParams,
+    *,
+    remat: bool = True,
+    compute_dtype=None,
+) -> List[Array]:
     """Run VGG16 features, returning the five slice outputs (post-ReLU).
 
     remat=True checkpoints each SLICE: the backward recomputes one slice's
@@ -63,6 +69,11 @@ def lpips_features(x: Array, params: LPIPSParams, *, remat: bool = True) -> List
     fp32 — at 512^2 training resolution that drops ~5 GB of VGG residuals
     from the step's peak (the single largest consumer in the 16 GB OOM
     dump, bench train_step) for one extra VGG forward's FLOPs.
+
+    compute_dtype (e.g. bf16) runs the convs at that dtype — the
+    reference's LPIPS module runs under accelerate's bf16 autocast the
+    same way; distances/normalization stay fp32 in `lpips_distance`.
+    Default None keeps exact fp32 (the torch-golden parity surface).
     """
     import jax
     from jax import lax
@@ -73,6 +84,9 @@ def lpips_features(x: Array, params: LPIPSParams, *, remat: bool = True) -> List
                 h = _max_pool_2x2(h)
             w = jnp.asarray(params.convs[idx]["kernel"])  # HWIO
             b = jnp.asarray(params.convs[idx]["bias"])
+            if compute_dtype is not None:
+                w = w.astype(compute_dtype)
+                b = b.astype(compute_dtype)
             h = lax.conv_general_dilated(
                 h,
                 w,
@@ -83,7 +97,7 @@ def lpips_features(x: Array, params: LPIPSParams, *, remat: bool = True) -> List
             h = jnp.maximum(h, 0.0)
         return h
 
-    h = x
+    h = x if compute_dtype is None else x.astype(compute_dtype)
     outputs: List[Array] = []
     for slice_convs in _SLICES:
         if remat:
@@ -94,7 +108,9 @@ def lpips_features(x: Array, params: LPIPSParams, *, remat: bool = True) -> List
     return outputs
 
 
-def lpips_distance(pred: Array, target: Array, params: LPIPSParams) -> Array:
+def lpips_distance(
+    pred: Array, target: Array, params: LPIPSParams, *, compute_dtype=None
+) -> Array:
     """Per-sample LPIPS distance, inputs NHWC RGB in [-1, 1] -> (B,).
 
     The VALUE is symmetric in (pred, target); the GRADIENT is not:
@@ -112,10 +128,12 @@ def lpips_distance(pred: Array, target: Array, params: LPIPSParams) -> Array:
 
     x_in = (pred.astype(jnp.float32) - shift) / scale
     y_in = jax.lax.stop_gradient((target.astype(jnp.float32) - shift) / scale)
-    feats_x = lpips_features(x_in, params)
-    feats_y = lpips_features(y_in, params)
+    feats_x = lpips_features(x_in, params, compute_dtype=compute_dtype)
+    feats_y = lpips_features(y_in, params, compute_dtype=compute_dtype)
     total = jnp.zeros(pred.shape[0], dtype=jnp.float32)
     for fx, fy, lin in zip(feats_x, feats_y, params.lins):
+        fx = fx.astype(jnp.float32)
+        fy = fy.astype(jnp.float32)
         diff = (_normalize_tensor(fx) - _normalize_tensor(fy)) ** 2
         weighted = diff * jnp.asarray(lin)
         total = total + jnp.mean(jnp.sum(weighted, axis=-1), axis=(1, 2))
@@ -169,6 +187,8 @@ def load_lpips_params(path: Union[str, Path]) -> LPIPSParams:
 
 def maybe_build_lpips(
     weights_path: Optional[Union[str, Path]],
+    *,
+    compute_dtype=None,
 ) -> Optional[Callable[[Array, Array], Array]]:
     """Build the training-loop perceptual term, or None if unavailable.
 
@@ -176,6 +196,13 @@ def maybe_build_lpips(
     inputs are RGBA in [-1,1]; LPIPS is measured over black and white
     composites (fed unnormalized, reproducing the reference's quirk of
     passing [0,1]-ish composites where lpips expects [-1,1]).
+
+    The black and white composites are CONCATENATED into one 2B-batch VGG
+    pass per stream (pred w/ grad, target detached) — per-sample math is
+    independent, so the values are bitwise those of two separate passes,
+    but the TPU sees half the conv launches at twice the batch.
+    `compute_dtype=bf16` additionally runs the VGG convs at autocast
+    precision (see lpips_features).
     """
     if not weights_path:
         return None
@@ -186,8 +213,14 @@ def maybe_build_lpips(
 
     def perceptual_loss(pred: Array, target: Array, weights: Optional[Array] = None) -> Array:
         pred_black, target_black, pred_white, target_white = perceptual_composites(pred, target)
-        loss_black = lpips_distance(pred_black, target_black, params)
-        loss_white = lpips_distance(pred_white, target_white, params)
+        bsz = pred.shape[0]
+        d = lpips_distance(
+            jnp.concatenate([pred_black, pred_white], axis=0),
+            jnp.concatenate([target_black, target_white], axis=0),
+            params,
+            compute_dtype=compute_dtype,
+        )
+        loss_black, loss_white = d[:bsz], d[bsz:]
         per_sample = 0.5 * (loss_black + loss_white)
         if weights is None:
             return per_sample.mean()

@@ -549,7 +549,13 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
     if lpips_scale > 0.0:
         from ragb_vae_tpu.models.lpips import maybe_build_lpips
 
-        lpips_fn = maybe_build_lpips(train_cfg.get("lpips_weights"))
+        # VGG convs at the step's compute dtype (bf16 under mixed
+        # precision — the reference's LPIPS runs under accelerate's bf16
+        # autocast the same way); fp32 statistics stay inside.
+        lpips_fn = maybe_build_lpips(
+            train_cfg.get("lpips_weights"),
+            compute_dtype=None if compute_dtype == jnp.float32 else compute_dtype,
+        )
         if lpips_fn is None:
             print(
                 "[RGBA-VAE] lpips_scale > 0 but no LPIPS weights available "

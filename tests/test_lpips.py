@@ -153,3 +153,21 @@ def test_lpips_gradient_flows_through_pred(lpips_ckpt):
         lambda p: jnp.sum(lpips_distance(p[..., :3], target[..., :3], params))
     )(pred)
     assert float(jnp.linalg.norm(g)) > 0.0
+
+
+def test_lpips_bf16_compute_dtype_close_to_fp32(lpips_ckpt):
+    """compute_dtype=bf16 (the training/autocast path) stays close to the
+    fp32 golden path and still carries a pred gradient."""
+    import jax
+
+    path, _ = lpips_ckpt
+    fn32 = maybe_build_lpips(path)
+    fn16 = maybe_build_lpips(path, compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(12)
+    pred = jnp.asarray(rng.uniform(-1, 1, size=(2, 32, 32, 4)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(-1, 1, size=(2, 32, 32, 4)).astype(np.float32))
+    v32 = float(fn32(pred, target))
+    v16 = float(fn16(pred, target))
+    assert abs(v32 - v16) / max(abs(v32), 1e-6) < 0.05
+    g = jax.grad(lambda p: fn16(p, target).sum())(pred)
+    assert float(jnp.linalg.norm(g)) > 0.0
