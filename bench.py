@@ -231,7 +231,7 @@ def main() -> None:
                         help="train_step mode: VAE tile size (0 = no tiling)")
     parser.add_argument("--train-fused", action="store_true", default=True,
                         help="train_step mode: fused Pallas forward+backward "
-                        "(the product default since round 3; 4.896 vs 3.482 "
+                        "(the product default since round 3; 4.572 vs 3.391 "
                         "img/s at 512^2 b4 accum2)")
     parser.add_argument("--train-xla", dest="train_fused", action="store_false",
                         help="train_step mode: plain XLA step (the pre-round-3 "

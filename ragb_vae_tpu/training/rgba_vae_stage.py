@@ -502,7 +502,7 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
         model.enable_tiling(train_cfg.get("vae_tile_sample_size"))
     # fused whole-resnet-block Pallas kernels (forward AND the fused Pallas
     # backwards, ops/pallas/resnet_block.py) — DEFAULT ON for TPU training
-    # since round 3: 4.896 vs 3.482 img/s at the 512^2 b4 accum-2 operating
+    # since round 3: 4.572 vs 3.391 img/s at the 512^2 b4 accum-2 operating
     # point (benchmarks/results.md round 3). Mosaic kernels cannot be
     # auto-partitioned by GSPMD over a sharded batch axis, so multi-device
     # meshes run them only inside the explicit shard_map ZeRO-2 step (the
