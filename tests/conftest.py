@@ -12,6 +12,16 @@ as long as no backend has been initialized yet.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses tests may spawn
+# Subprocesses must not load the axon sitecustomize at all: it creates the
+# tunneled-TPU PJRT client during jax backend init EVEN under
+# JAX_PLATFORMS=cpu, so a hung tunnel turns every subprocess CLI test into
+# a timeout. The parent process is safe (jax.config.update below wins
+# before any backend initializes), but spawned interpreters re-run
+# sitecustomize from PYTHONPATH — drop the axon site dir for them.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if p and "axon_site" not in p
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
