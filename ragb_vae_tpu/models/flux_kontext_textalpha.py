@@ -206,6 +206,10 @@ class FluxTextAlphaModel:
     lora_alpha: float = 0.0
     dtype: Any = jnp.float32
     remat: bool = True
+    # Weight-only int8 transformer storage ("int8") for serving full-scale
+    # FLUX.1 on one 16 GB chip — see models/quantize.py. Param tree must be
+    # produced by quantize_transformer_params (or *_like) in this mode.
+    weight_quant: str = "none"
     # Training mesh for multichip runs: the Pallas flash-attention kernel
     # cannot be auto-partitioned by GSPMD, so with a mesh the attention is
     # shard_mapped over the batch axis (ops/pallas/flash_attention.py).
@@ -225,6 +229,7 @@ class FluxTextAlphaModel:
             dtype=self.dtype,
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
+            weight_quant=self.weight_quant,
             remat=self.remat,
             **kwargs,
         )

@@ -132,6 +132,62 @@ def apply_rotary_emb(x: Array, cos: Array, sin: Array) -> Array:
     return (x_f32 * cos + x_rot * sin).astype(x.dtype)
 
 
+class QDense(nn.Module):
+    """nn.Dense drop-in with optional weight-only int8 storage.
+
+    weight_quant="none" replicates nn.Dense exactly — same param names
+    ("kernel"/"bias"), same initializers, same RNG paths, so existing
+    checkpoints, the torch-golden parity tests, and the 1160-key manifests
+    are untouched.
+
+    weight_quant="int8" stores `kernel_q` (int8, per-OUTPUT-channel
+    symmetric) + `kernel_scale` (f32, (features,)) and dequantizes INSIDE
+    the layer — w = q·scale materializes one layer's weights at a time, so
+    full-scale FLUX.1 (11.9 B params, ~24 GB bf16) fits a 16 GB chip for
+    inference at ~11.1 GiB of resident int8. Weight-only quantization
+    (activations stay bf16/f32) is the memory-capacity play, deliberately
+    distinct from the int8 MXU-throughput probe that benchmarks/results.md
+    refuted for the VAE conv chains: here int8 is the *storage* format and
+    the MXU still sees bf16 operands.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    weight_quant: str = "none"
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_features = x.shape[-1]
+        if self.weight_quant == "int8":
+            kernel_q = self.param(
+                "kernel_q", nn.initializers.zeros, (in_features, self.features), jnp.int8
+            )
+            scale = self.param(
+                "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
+            )
+            # int8 -> compute dtype is exact (|q| <= 127 fits bf16's 8-bit
+            # mantissa); the per-channel scale is applied in compute dtype
+            w = kernel_q.astype(self.dtype) * scale.astype(self.dtype)[None, :]
+        elif self.weight_quant == "none":
+            kernel = self.param(
+                "kernel",
+                nn.initializers.lecun_normal(),
+                (in_features, self.features),
+                jnp.float32,
+            )
+            w = kernel.astype(self.dtype)
+        else:
+            raise ValueError(f"Unknown weight_quant mode {self.weight_quant!r}.")
+        y = x.astype(self.dtype) @ w
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class LoraDense(nn.Module):
     """Dense with an optional rank-r LoRA bypass (peft-equivalent).
 
@@ -144,11 +200,13 @@ class LoraDense(nn.Module):
     dtype: jnp.dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: float = 0.0
+    weight_quant: str = "none"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        y = nn.Dense(
-            self.features, use_bias=self.use_bias, dtype=self.dtype, name="base"
+        y = QDense(
+            self.features, use_bias=self.use_bias, dtype=self.dtype,
+            weight_quant=self.weight_quant, name="base",
         )(x)
         if self.lora_rank > 0:
             in_features = x.shape[-1]
@@ -174,12 +232,15 @@ class MLPEmbedder(nn.Module):
 
     dim: int
     dtype: jnp.dtype = jnp.float32
+    weight_quant: str = "none"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(x)
+        x = QDense(self.dim, dtype=self.dtype, weight_quant=self.weight_quant,
+                   name="linear_1")(x)
         x = nn.silu(x)
-        return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
+        return QDense(self.dim, dtype=self.dtype, weight_quant=self.weight_quant,
+                      name="linear_2")(x)
 
 
 class CombinedTimestepEmbeddings(nn.Module):
@@ -187,22 +248,24 @@ class CombinedTimestepEmbeddings(nn.Module):
 
     config: FluxTransformerConfig
     dtype: jnp.dtype = jnp.float32
+    weight_quant: str = "none"
 
     @nn.compact
     def __call__(self, timestep: Array, guidance: Optional[Array], pooled: Array) -> Array:
         dim = self.config.inner_dim
-        temb = MLPEmbedder(dim, dtype=self.dtype, name="timestep_embedder")(
+        mlp = lambda name: MLPEmbedder(
+            dim, dtype=self.dtype, weight_quant=self.weight_quant, name=name
+        )
+        temb = mlp("timestep_embedder")(
             timestep_embedding(timestep).astype(self.dtype)
         )
         if self.config.guidance_embeds:
             if guidance is None:
                 raise ValueError("guidance_embeds=True requires a guidance tensor.")
-            temb = temb + MLPEmbedder(dim, dtype=self.dtype, name="guidance_embedder")(
+            temb = temb + mlp("guidance_embedder")(
                 timestep_embedding(guidance).astype(self.dtype)
             )
-        temb = temb + MLPEmbedder(dim, dtype=self.dtype, name="text_embedder")(
-            pooled.astype(self.dtype)
-        )
+        temb = temb + mlp("text_embedder")(pooled.astype(self.dtype))
         return temb
 
 
@@ -262,6 +325,7 @@ class JointAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: float = 0.0
+    weight_quant: str = "none"
     attention_fn: AttentionFn = default_attention
 
     @nn.compact
@@ -270,7 +334,7 @@ class JointAttention(nn.Module):
         dim, heads, head_dim = cfg.inner_dim, cfg.num_attention_heads, cfg.attention_head_dim
         dense = lambda name: LoraDense(
             dim, dtype=self.dtype, lora_rank=self.lora_rank,
-            lora_alpha=self.lora_alpha, name=name,
+            lora_alpha=self.lora_alpha, weight_quant=self.weight_quant, name=name,
         )
         q = _split_heads(dense("to_q")(img), heads)
         k = _split_heads(dense("to_k")(img), heads)
@@ -306,6 +370,7 @@ class SingleAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: float = 0.0
+    weight_quant: str = "none"
     attention_fn: AttentionFn = default_attention
 
     @nn.compact
@@ -314,7 +379,7 @@ class SingleAttention(nn.Module):
         dim, heads, head_dim = cfg.inner_dim, cfg.num_attention_heads, cfg.attention_head_dim
         dense = lambda name: LoraDense(
             dim, dtype=self.dtype, lora_rank=self.lora_rank,
-            lora_alpha=self.lora_alpha, name=name,
+            lora_alpha=self.lora_alpha, weight_quant=self.weight_quant, name=name,
         )
         q = RMSNorm(head_dim, name="norm_q")(_split_heads(dense("to_q")(x), heads))
         k = RMSNorm(head_dim, name="norm_k")(_split_heads(dense("to_k")(x), heads))
@@ -333,18 +398,21 @@ class FeedForward(nn.Module):
     dtype: jnp.dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: float = 0.0
+    weight_quant: str = "none"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         inner = self.dim * self.mult
         x = LoraDense(
             inner, dtype=self.dtype, lora_rank=self.lora_rank,
-            lora_alpha=self.lora_alpha, name="net_0_proj",
+            lora_alpha=self.lora_alpha, weight_quant=self.weight_quant,
+            name="net_0_proj",
         )(x)
         x = nn.gelu(x, approximate=True)
         return LoraDense(
             self.dim, dtype=self.dtype, lora_rank=self.lora_rank,
-            lora_alpha=self.lora_alpha, name="net_2",
+            lora_alpha=self.lora_alpha, weight_quant=self.weight_quant,
+            name="net_2",
         )(x)
 
 
@@ -355,10 +423,14 @@ class AdaLayerNormZero(nn.Module):
     dim: int
     n_chunks: int = 6
     dtype: jnp.dtype = jnp.float32
+    weight_quant: str = "none"
 
     @nn.compact
     def __call__(self, x: Array, temb: Array):
-        emb = nn.Dense(self.n_chunks * self.dim, dtype=jnp.float32, name="linear")(
+        emb = QDense(
+            self.n_chunks * self.dim, dtype=jnp.float32,
+            weight_quant=self.weight_quant, name="linear",
+        )(
             nn.silu(temb.astype(jnp.float32))
         )
         chunks = jnp.split(emb[:, None, :], self.n_chunks, axis=-1)
@@ -378,21 +450,25 @@ class FluxTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: float = 0.0
+    weight_quant: str = "none"
     attention_fn: AttentionFn = default_attention
 
     @nn.compact
     def __call__(self, img: Array, txt: Array, temb: Array, rope):
         cfg = self.config
         norm_img, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaLayerNormZero(
-            cfg.inner_dim, dtype=self.dtype, name="norm1"
+            cfg.inner_dim, dtype=self.dtype, weight_quant=self.weight_quant,
+            name="norm1"
         )(img, temb)
         norm_txt, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = AdaLayerNormZero(
-            cfg.inner_dim, dtype=self.dtype, name="norm1_context"
+            cfg.inner_dim, dtype=self.dtype, weight_quant=self.weight_quant,
+            name="norm1_context"
         )(txt, temb)
 
         attn_img, attn_txt = JointAttention(
             cfg, dtype=self.dtype, lora_rank=self.lora_rank,
-            lora_alpha=self.lora_alpha, attention_fn=self.attention_fn, name="attn",
+            lora_alpha=self.lora_alpha, weight_quant=self.weight_quant,
+            attention_fn=self.attention_fn, name="attn",
         )(norm_img, norm_txt, rope)
 
         img = img + gate_msa * attn_img
@@ -402,7 +478,7 @@ class FluxTransformerBlock(nn.Module):
         norm2 = (norm2 * (1.0 + scale_mlp) + shift_mlp).astype(img.dtype)
         img = img + gate_mlp * FeedForward(
             cfg.inner_dim, dtype=self.dtype, lora_rank=self.lora_rank,
-            lora_alpha=self.lora_alpha, name="ff",
+            lora_alpha=self.lora_alpha, weight_quant=self.weight_quant, name="ff",
         )(norm2)
 
         txt = txt + c_gate_msa * attn_txt
@@ -413,7 +489,8 @@ class FluxTransformerBlock(nn.Module):
         norm2_c = (norm2_c * (1.0 + c_scale_mlp) + c_shift_mlp).astype(txt.dtype)
         txt = txt + c_gate_mlp * FeedForward(
             cfg.inner_dim, dtype=self.dtype, lora_rank=self.lora_rank,
-            lora_alpha=self.lora_alpha, name="ff_context",
+            lora_alpha=self.lora_alpha, weight_quant=self.weight_quant,
+            name="ff_context",
         )(norm2_c)
         return img, txt
 
@@ -423,6 +500,7 @@ class FluxSingleTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: float = 0.0
+    weight_quant: str = "none"
     attention_fn: AttentionFn = default_attention
 
     @nn.compact
@@ -430,17 +508,21 @@ class FluxSingleTransformerBlock(nn.Module):
         cfg = self.config
         residual = x
         norm_x, gate = AdaLayerNormZero(
-            cfg.inner_dim, n_chunks=3, dtype=self.dtype, name="norm"
+            cfg.inner_dim, n_chunks=3, dtype=self.dtype,
+            weight_quant=self.weight_quant, name="norm"
         )(x, temb)
         mlp = nn.gelu(
-            nn.Dense(cfg.inner_dim * 4, dtype=self.dtype, name="proj_mlp")(norm_x),
+            QDense(cfg.inner_dim * 4, dtype=self.dtype,
+                   weight_quant=self.weight_quant, name="proj_mlp")(norm_x),
             approximate=True,
         )
         attn_out = SingleAttention(
             cfg, dtype=self.dtype, lora_rank=self.lora_rank,
-            lora_alpha=self.lora_alpha, attention_fn=self.attention_fn, name="attn",
+            lora_alpha=self.lora_alpha, weight_quant=self.weight_quant,
+            attention_fn=self.attention_fn, name="attn",
         )(norm_x, rope)
-        out = nn.Dense(cfg.inner_dim, dtype=self.dtype, name="proj_out")(
+        out = QDense(cfg.inner_dim, dtype=self.dtype,
+                     weight_quant=self.weight_quant, name="proj_out")(
             jnp.concatenate([attn_out, mlp], axis=-1)
         )
         return residual + gate * out
@@ -458,6 +540,7 @@ class FluxTransformer2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: float = 0.0
+    weight_quant: str = "none"
     remat: bool = False
     attention_fn: AttentionFn = default_attention
 
@@ -473,13 +556,18 @@ class FluxTransformer2D(nn.Module):
         guidance: Optional[Array] = None,  # (B,)
     ) -> Array:
         cfg = self.config
-        img = nn.Dense(cfg.inner_dim, dtype=self.dtype, name="x_embedder")(
+        img = QDense(cfg.inner_dim, dtype=self.dtype,
+                     weight_quant=self.weight_quant, name="x_embedder")(
             hidden_states.astype(self.dtype)
         )
-        txt = nn.Dense(cfg.inner_dim, dtype=self.dtype, name="context_embedder")(
+        txt = QDense(cfg.inner_dim, dtype=self.dtype,
+                     weight_quant=self.weight_quant, name="context_embedder")(
             encoder_hidden_states.astype(self.dtype)
         )
-        temb = CombinedTimestepEmbeddings(cfg, dtype=self.dtype, name="time_text_embed")(
+        temb = CombinedTimestepEmbeddings(
+            cfg, dtype=self.dtype, weight_quant=self.weight_quant,
+            name="time_text_embed",
+        )(
             timestep, guidance, pooled_projections
         )
 
@@ -495,7 +583,8 @@ class FluxTransformer2D(nn.Module):
         for i in range(cfg.num_layers):
             img, txt = double_cls(
                 cfg, dtype=self.dtype, lora_rank=self.lora_rank,
-                lora_alpha=self.lora_alpha, attention_fn=self.attention_fn,
+                lora_alpha=self.lora_alpha, weight_quant=self.weight_quant,
+                attention_fn=self.attention_fn,
                 name=f"transformer_blocks_{i}",
             )(img, txt, temb, rope)
 
@@ -503,13 +592,15 @@ class FluxTransformer2D(nn.Module):
         for i in range(cfg.num_single_layers):
             x = single_cls(
                 cfg, dtype=self.dtype, lora_rank=self.lora_rank,
-                lora_alpha=self.lora_alpha, attention_fn=self.attention_fn,
+                lora_alpha=self.lora_alpha, weight_quant=self.weight_quant,
+                attention_fn=self.attention_fn,
                 name=f"single_transformer_blocks_{i}",
             )(x, temb, rope)
         x = x[:, txt.shape[1] :]
 
         # AdaLayerNormContinuous head: silu(temb) -> Dense(2*dim) -> (scale, shift)
-        emb = nn.Dense(2 * cfg.inner_dim, dtype=jnp.float32, name="norm_out_linear")(
+        emb = QDense(2 * cfg.inner_dim, dtype=jnp.float32,
+                     weight_quant=self.weight_quant, name="norm_out_linear")(
             nn.silu(temb.astype(jnp.float32))
         )
         scale, shift = jnp.split(emb[:, None, :], 2, axis=-1)
@@ -518,4 +609,5 @@ class FluxTransformer2D(nn.Module):
         )(x)
         x = (x * (1.0 + scale) + shift).astype(self.dtype)
         out_channels = cfg.out_channels or cfg.in_channels
-        return nn.Dense(out_channels, dtype=self.dtype, name="proj_out")(x)
+        return QDense(out_channels, dtype=self.dtype,
+                      weight_quant=self.weight_quant, name="proj_out")(x)
