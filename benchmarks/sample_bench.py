@@ -37,11 +37,11 @@ MID_BLOCKS = (4, 8)
 FULL_BLOCKS = (19, 38)
 
 
-def build(batch):
+def build(batch, blocks=MID_BLOCKS, quant="none"):
     cfg = FluxTransformerConfig(
         in_channels=64,
-        num_layers=MID_BLOCKS[0],
-        num_single_layers=MID_BLOCKS[1],
+        num_layers=blocks[0],
+        num_single_layers=blocks[1],
         attention_head_dim=128,
         num_attention_heads=24,
         joint_attention_dim=4096,
@@ -69,6 +69,7 @@ def build(batch):
         text_ids=jnp.zeros((TEXT_SEQ, 3), jnp.float32),
         dtype=jnp.bfloat16,
         remat=True,
+        weight_quant=quant,
     )
     latent = SIZE // model.vae_scale_factor
     dummy = dict(
@@ -80,8 +81,21 @@ def build(batch):
         txt_ids=model.text_ids,
         guidance=jnp.asarray([3.5]),
     )
-    t_params = model.transformer.init(jax.random.PRNGKey(1), **dummy)["params"]
-    t_params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), t_params)
+    if quant == "int8":
+        # Full-scale path: the bf16 tree (~24 GB) can never materialize on a
+        # 16 GB chip, so build the quantized tree host-side from eval_shape
+        # of the PLAIN init (models/quantize.py).
+        from ragb_vae_tpu.models.flux_transformer import FluxTransformer2D
+        from ragb_vae_tpu.models.quantize import random_quantized_params_like
+
+        plain = FluxTransformer2D(cfg, dtype=jnp.bfloat16)
+        shapes = jax.eval_shape(
+            lambda: plain.init(jax.random.PRNGKey(1), **dummy)
+        )["params"]
+        t_params = random_quantized_params_like(shapes, seed=1)
+    else:
+        t_params = model.transformer.init(jax.random.PRNGKey(1), **dummy)["params"]
+        t_params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), t_params)
     vae_params = vae.init_params(jax.random.PRNGKey(2), image_size=64)
     vae_params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), vae_params)
     gt = jnp.asarray(
@@ -96,11 +110,17 @@ def main() -> None:
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--batches", type=int, nargs="*", default=[1, 2, 4])
+    parser.add_argument("--blocks", choices=["mid", "full"], default="mid",
+                        help="full = real FLUX.1 scale (19+38 blocks, 11.9 B); "
+                        "requires --quant int8 to fit one 16 GB chip")
+    parser.add_argument("--quant", choices=["none", "int8"], default="none",
+                        help="weight-only int8 transformer storage (QDense)")
     args = parser.parse_args()
+    blocks = FULL_BLOCKS if args.blocks == "full" else MID_BLOCKS
     print(f"device: {jax.devices()[0]}")
     results = {}
     for batch in args.batches:
-        model, t_params, vae_params, gt = build(batch)
+        model, t_params, vae_params, gt = build(batch, blocks=blocks, quant=args.quant)
 
         @jax.jit
         def sample(t_params, vae_params, gt, key):
@@ -123,14 +143,19 @@ def main() -> None:
             break
         dt = (time.perf_counter() - t0) / ITERS
         rate = batch / dt
-        # full-scale estimate: transformer share scales with block count
-        scale = (FULL_BLOCKS[0] + FULL_BLOCKS[1]) / (MID_BLOCKS[0] + MID_BLOCKS[1])
-        est_full = batch / (dt * scale)  # upper bound: scales the WHOLE time
-        print(
-            f"sample {SIZE}px b{batch} {STEPS} steps (mid-size 4+8 blocks): "
-            f"{dt:.3f} s/batch -> {rate:.3f} img/s | "
-            f"full-scale (19+38) conservative estimate >= {est_full:.3f} img/s"
+        desc = f"{blocks[0]}+{blocks[1]} blocks" + (
+            f", weight-only {args.quant}" if args.quant != "none" else ""
         )
+        line = (
+            f"sample {SIZE}px b{batch} {STEPS} steps ({desc}): "
+            f"{dt:.3f} s/batch -> {rate:.3f} img/s"
+        )
+        if blocks == MID_BLOCKS:
+            # full-scale estimate: transformer share scales with block count
+            scale = (FULL_BLOCKS[0] + FULL_BLOCKS[1]) / (MID_BLOCKS[0] + MID_BLOCKS[1])
+            est_full = batch / (dt * scale)  # upper bound: scales the WHOLE time
+            line += f" | full-scale (19+38) conservative estimate >= {est_full:.3f} img/s"
+        print(line)
         results[batch] = rate
     if not results:
         print("no batch completed; nothing to report")
@@ -139,7 +164,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"textalpha_sample_{SIZE}px_{STEPS}step_midsize_b{best}",
+                "metric": f"textalpha_sample_{SIZE}px_{STEPS}step_"
+                f"{'fullscale' if blocks == FULL_BLOCKS else 'midsize'}"
+                f"{'_' + args.quant if args.quant != 'none' else ''}_b{best}",
                 "value": round(results[best], 3),
                 "unit": "img/s/chip",
                 "vs_baseline": 0.0,

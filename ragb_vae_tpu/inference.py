@@ -37,6 +37,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--steps", type=int, default=20, help="Number of flow steps during sampling.")
     p.add_argument("--seed", type=int, default=None, help="Optional seed for deterministic sampling.")
     p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "fp16", "fp32"])
+    p.add_argument("--quant", type=str, default="none", choices=["none", "int8"],
+                   help="Weight-only int8 transformer serving (beyond parity): "
+                   "full-scale FLUX.1 fits one 16 GB chip. Loads a pre-quantized "
+                   "checkpoint (scripts/quantize_flux_checkpoint.py) directly, or "
+                   "quantizes a plain checkpoint host-side at load.")
     return p.parse_args(argv)
 
 
@@ -69,6 +74,7 @@ def run(args: argparse.Namespace) -> None:
         dtype=dtype,
         lora_rank=args.rank if args.lora_path else 0,
         lora_alpha=float(args.lora_alpha),
+        weight_quant=args.quant,
     )
     if args.lora_path:
         t_params = model.load_lora(t_params, args.lora_path)

@@ -69,7 +69,20 @@ def load_transformer(
     *,
     subfolder: str = "transformer",
 ) -> Tuple[FluxTransformerConfig, PyTree]:
+    from ragb_vae_tpu.models.quantize import (
+        is_quantized_checkpoint,
+        load_quantized_transformer,
+    )
+
+    directory = Path(model_path) / subfolder if subfolder else Path(model_path)
+    if is_quantized_checkpoint(directory):
+        return load_quantized_transformer(directory)
     return load_flux_transformer_params(model_path, subfolder)
+
+
+def _tree_is_quantized(params: PyTree) -> bool:
+    paths = jax.tree_util.tree_leaves_with_path(params)
+    return any(getattr(k, "key", None) == "kernel_q" for path, _ in paths for k in path)
 
 
 def load_scheduler(model_path: Union[str, Path]) -> FlowMatchEulerScheduler:
@@ -261,8 +274,15 @@ class FluxTextAlphaModel:
         lora_alpha: float = 0.0,
         use_gradient_checkpointing: bool = True,
         attention_mesh: Any = None,
+        weight_quant: str = "none",
     ) -> Tuple["FluxTextAlphaModel", PyTree, PyTree]:
-        """Returns (model, transformer_params, vae_params)."""
+        """Returns (model, transformer_params, vae_params).
+
+        weight_quant="int8": the transformer params are served in
+        weight-only int8 (models/quantize.py). A pre-quantized checkpoint
+        dir (scripts/quantize_flux_checkpoint.py) is loaded as-is; a plain
+        bf16/f32 checkpoint is quantized host-side at load.
+        """
         t_config, t_params = load_transformer(model_path)
         vae, vae_params = load_rgba_vae_from_path(vae_path, subfolder=vae_subfolder, dtype=dtype)
         scheduler = load_scheduler(model_path)
@@ -279,7 +299,14 @@ class FluxTextAlphaModel:
             dtype=dtype,
             remat=use_gradient_checkpointing,
             attention_mesh=attention_mesh,
+            weight_quant=weight_quant,
         )
+        if weight_quant == "int8" and not _tree_is_quantized(t_params):
+            from ragb_vae_tpu.models.quantize import quantize_transformer_params
+
+            t_params = quantize_transformer_params(
+                jax.tree_util.tree_map(np.asarray, t_params)
+            )
         if lora_rank > 0:
             t_params = model.init_lora(t_params, jax.random.PRNGKey(0))
         return model, t_params, vae_params

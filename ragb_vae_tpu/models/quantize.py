@@ -101,3 +101,65 @@ def random_quantized_params_like(shape_tree: PyTree, seed: int = 0) -> PyTree:
         )
 
     return walk(shape_tree)
+
+
+# ---------------------------------------------------------------------------
+# On-disk quantized checkpoints (flat npz — safetensors' torch-key mapping
+# cannot carry the {kernel_q, kernel_scale} split or int8 dtypes)
+# ---------------------------------------------------------------------------
+_QUANT_MARKER = "quantization.json"
+_QUANT_WEIGHTS = "quantized_params.npz"
+_PATH_SEP = "/"
+
+
+def is_quantized_checkpoint(directory) -> bool:
+    from pathlib import Path
+
+    return (Path(directory) / _QUANT_MARKER).exists()
+
+
+def save_quantized_transformer(config, qparams: PyTree, output_dir) -> None:
+    """Persist a quantized tree: config.json (HF-compatible fields) +
+    quantized_params.npz (flat `a/b/c` keys, dtypes preserved) + marker."""
+    import json
+    from pathlib import Path
+
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(node: Any, prefix: str) -> None:
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}{_PATH_SEP}{k}" if prefix else k)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk(qparams, "")
+    np.savez(out / _QUANT_WEIGHTS, **flat)
+    cfg = {k: (list(v) if isinstance(v, tuple) else v) for k, v in config.__dict__.items()}
+    (out / "config.json").write_text(json.dumps(cfg, indent=2))
+    (out / _QUANT_MARKER).write_text(
+        json.dumps({"format": "weight_only_int8", "scheme": "per_output_channel_symmetric"})
+    )
+
+
+def load_quantized_transformer(directory):
+    """Inverse of save_quantized_transformer -> (FluxTransformerConfig, tree)."""
+    from pathlib import Path
+
+    from ragb_vae_tpu.models.flux_transformer import FluxTransformerConfig
+
+    d = Path(directory)
+    if not is_quantized_checkpoint(d):
+        raise FileNotFoundError(f"{d} is not a quantized checkpoint (no {_QUANT_MARKER}).")
+    config = FluxTransformerConfig.from_json(d / "config.json")
+    data = np.load(d / _QUANT_WEIGHTS)
+    params: Dict[str, Any] = {}
+    for key in data.files:
+        node = params
+        parts = key.split(_PATH_SEP)
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = data[key]
+    return config, params

@@ -198,3 +198,92 @@ def test_quantized_sample_end_to_end(lora_rank):
     )
     assert out.shape == (1, 32, 32, 4)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    """save_quantized_transformer / load path: tree + config survive disk."""
+    from ragb_vae_tpu.models.quantize import (
+        is_quantized_checkpoint,
+        load_quantized_transformer,
+        save_quantized_transformer,
+    )
+
+    cfg = FluxTransformerConfig.tiny()
+    model = FluxTransformer2D(cfg)
+    inputs = _dummy_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), **inputs)["params"]
+    qparams = quantize_transformer_params(jax.tree_util.tree_map(np.asarray, params))
+
+    out_dir = tmp_path / "transformer"
+    save_quantized_transformer(cfg, qparams, out_dir)
+    assert is_quantized_checkpoint(out_dir)
+    cfg2, loaded = load_quantized_transformer(out_dir)
+    assert cfg2 == cfg
+
+    flat_a = {jax.tree_util.keystr(p): np.asarray(v)
+              for p, v in jax.tree_util.tree_leaves_with_path(qparams)}
+    flat_b = {jax.tree_util.keystr(p): np.asarray(v)
+              for p, v in jax.tree_util.tree_leaves_with_path(loaded)}
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        assert flat_a[k].dtype == flat_b[k].dtype, k
+        np.testing.assert_array_equal(flat_a[k], flat_b[k])
+
+    # the quantized model consumes the loaded tree unchanged
+    qmodel = FluxTransformer2D(cfg, weight_quant="int8")
+    out = qmodel.apply({"params": loaded}, **inputs)
+    ref = qmodel.apply({"params": qparams}, **inputs)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_load_transformer_detects_quantized_dir(tmp_path):
+    """load_transformer transparently routes quantized checkpoint dirs."""
+    from ragb_vae_tpu.models.flux_kontext_textalpha import load_transformer
+    from ragb_vae_tpu.models.quantize import save_quantized_transformer
+
+    cfg = FluxTransformerConfig.tiny()
+    model = FluxTransformer2D(cfg)
+    params = model.init(jax.random.PRNGKey(0), **_dummy_inputs(cfg))["params"]
+    qparams = quantize_transformer_params(jax.tree_util.tree_map(np.asarray, params))
+    save_quantized_transformer(cfg, qparams, tmp_path / "transformer")
+
+    cfg2, loaded = load_transformer(tmp_path)
+    assert cfg2 == cfg
+    leaves = {jax.tree_util.keystr(p)
+              for p, _ in jax.tree_util.tree_leaves_with_path(loaded)}
+    assert any("kernel_q" in k for k in leaves)
+
+
+def test_quantize_checkpoint_cli(tmp_path):
+    """scripts/quantize_flux_checkpoint.py end-to-end on a tiny HF-format dir."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from ragb_vae_tpu.models.flux_weights import save_flux_transformer_params
+
+    cfg = FluxTransformerConfig.tiny()
+    model = FluxTransformer2D(cfg)
+    params = model.init(jax.random.PRNGKey(0), **_dummy_inputs(cfg))["params"]
+    src = tmp_path / "ckpt"
+    save_flux_transformer_params(cfg, params, src / "transformer")
+    dst = tmp_path / "ckpt-int8" / "transformer"
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "quantize_flux_checkpoint.py"),
+         "--model_path", str(src), "--output_dir", str(dst)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "saved to" in proc.stdout
+
+    from ragb_vae_tpu.models.flux_kontext_textalpha import load_transformer
+
+    cfg2, loaded = load_transformer(tmp_path / "ckpt-int8")
+    qmodel = FluxTransformer2D(cfg2, weight_quant="int8")
+    out = qmodel.apply({"params": loaded}, **_dummy_inputs(cfg2))
+    plain_out = model.apply({"params": params}, **_dummy_inputs(cfg2))
+    err = float(np.max(np.abs(np.asarray(out) - np.asarray(plain_out))))
+    ref = float(np.max(np.abs(np.asarray(plain_out))))
+    assert err / ref < 0.05
