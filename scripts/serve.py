@@ -43,6 +43,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--max-delay-ms", type=float, default=30.0)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--quant", type=str, default="none", choices=["none", "int8"],
+                   help="Weight-only int8 transformer serving: full-scale FLUX.1 "
+                   "fits one 16 GB chip (scripts/quantize_flux_checkpoint.py).")
     p.add_argument("--warmup", type=str, default="",
                    help="Comma-separated HxW sizes to pre-compile at startup "
                    "(e.g. '512x512,1024x1024'); cold compiles are minutes-long "
@@ -73,6 +76,7 @@ def build_server(args) -> "InferenceServer":
         dtype=dtype,
         lora_rank=args.rank if args.lora_path else 0,
         lora_alpha=float(args.lora_alpha),
+        weight_quant=args.quant,
     )
     if args.lora_path:
         t_params = model.load_lora(t_params, args.lora_path)

@@ -287,3 +287,51 @@ def test_quantize_checkpoint_cli(tmp_path):
     err = float(np.max(np.abs(np.asarray(out) - np.asarray(plain_out))))
     ref = float(np.max(np.abs(np.asarray(plain_out))))
     assert err / ref < 0.05
+
+
+def test_from_pretrained_weight_quant(tmp_path):
+    """from_pretrained(weight_quant='int8') quantizes a plain checkpoint at
+    load and sample() runs — the ragb-infer --quant int8 path."""
+    import json
+
+    from ragb_vae_tpu.models.flux_kontext_textalpha import FluxTextAlphaModel
+    from ragb_vae_tpu.models.flux_weights import save_flux_transformer_params
+    from ragb_vae_tpu.models.rgba_vae import RgbaVAE
+    from ragb_vae_tpu.models.vae_config import AutoencoderConfig
+    from ragb_vae_tpu.models.weights import save_autoencoder_params
+
+    root = tmp_path / "flux_tiny"
+    cfg = FluxTransformerConfig.tiny()
+    model = FluxTransformer2D(cfg)
+    params = model.init(jax.random.PRNGKey(0), **_dummy_inputs(cfg))["params"]
+    save_flux_transformer_params(cfg, params, root / "transformer")
+    (root / "scheduler").mkdir(parents=True)
+    (root / "scheduler" / "scheduler_config.json").write_text(
+        json.dumps({"num_train_timesteps": 1000, "shift": 3.0, "use_dynamic_shifting": True})
+    )
+    rng = np.random.default_rng(0)
+    np.savez(
+        root / "empty_prompt_embeds.npz",
+        prompt_embeds=rng.standard_normal((1, 4, cfg.joint_attention_dim)).astype(np.float32),
+        pooled_prompt_embeds=rng.standard_normal((1, cfg.pooled_projection_dim)).astype(np.float32),
+        text_ids=np.zeros((4, 3), np.float32),
+    )
+    vae_cfg = AutoencoderConfig.tiny()
+    vae_cfg.in_channels = 4
+    vae_cfg.out_channels = 4
+    vae_cfg.sample_size = 32
+    vae = RgbaVAE(config=vae_cfg)
+    vae_params = vae.init_params(jax.random.PRNGKey(1), image_size=32)
+    save_autoencoder_params(vae_cfg, vae_params, root / "vae")
+
+    loaded, t_params, vae_params = FluxTextAlphaModel.from_pretrained(
+        root, vae_path=root, vae_subfolder="vae", weight_quant="int8"
+    )
+    leaves = {p[-1].key for p, _ in jax.tree_util.tree_leaves_with_path(t_params)}
+    assert "kernel_q" in leaves and "kernel" not in leaves
+    gt = jnp.asarray(rng.random((1, 32, 32, 4)), jnp.float32)
+    out = loaded.sample(
+        t_params, vae_params, gt, num_inference_steps=2, key=jax.random.PRNGKey(2)
+    )
+    assert out.shape == (1, 32, 32, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
