@@ -525,6 +525,16 @@ class FluxTextAlphaModel:
 
         def step_fn(latents, scan_in):
             i, step_noise = scan_in
+            if self.weight_quant == "int8":
+                # Weight-only int8: the QDense dequants (int8 -> bf16) are
+                # loop-invariant, and XLA's LICM hoists them out of the scan
+                # — every dequantized kernel live at once (~24 GB at full
+                # scale, measured in benchmarks/quant_aot.py). The barrier
+                # is never hoisted, so dequant stays inside the step and at
+                # most one layer's bf16 weights are live at a time.
+                step_params = jax.lax.optimization_barrier(params)
+            else:
+                step_params = params
             sigma = sigmas[i]
             # reference quirk: fresh noise injected EVERY step (:463)
             noisy_target = (1.0 - sigma) * latents + sigma * step_noise
@@ -532,7 +542,7 @@ class FluxTextAlphaModel:
                 [packed_cond, pack_latents(noisy_target.astype(self.dtype))], axis=1
             )
             timestep = jnp.broadcast_to(timesteps[i] / 1000.0, (bsz,))
-            pred = self._transformer_pred(params, packed, timestep, img_ids, bsz)
+            pred = self._transformer_pred(step_params, packed, timestep, img_ids, bsz)
             pred_target = unpack_latents(
                 pred[:, seq_cond:, :].astype(jnp.float32), latent_h, latent_w
             )
