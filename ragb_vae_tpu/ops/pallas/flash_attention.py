@@ -417,6 +417,7 @@ def attention(
     force_xla: Optional[bool] = None,
     mesh=None,
     batch_axis: str = "data",
+    head_axis: str = "model",
 ) -> Array:
     """(B, H, S, D) attention; flash kernel on TPU, chunked XLA elsewhere.
 
@@ -427,6 +428,10 @@ def attention(
     auto-partitioned — pass `mesh` (the training mesh) and the flash call
     is wrapped in a `shard_map` over `batch_axis`. Attention is
     embarrassingly parallel over B, so the per-shard kernel is exact.
+    The same holds per-head: on a tensor-parallel serving mesh
+    (parallel/tensor_parallel.py) the q/k/v projections are
+    column-parallel so H arrives sharded over `head_axis`; each of the
+    mesh's B and H axes is shard_mapped iff present and divides the dim.
     """
     b, h, s, d = q.shape
     if sm_scale is None:
@@ -454,11 +459,14 @@ def attention(
         )
         return out.reshape(q4.shape)
 
-    n_shards = mesh.shape.get(batch_axis, 1) if mesh is not None else 1
-    if n_shards > 1 and b % n_shards == 0:
+    b_shards = mesh.shape.get(batch_axis, 1) if mesh is not None else 1
+    h_shards = mesh.shape.get(head_axis, 1) if mesh is not None else 1
+    b_name = batch_axis if b_shards > 1 and b % b_shards == 0 else None
+    h_name = head_axis if h_shards > 1 and h % h_shards == 0 else None
+    if b_name or h_name:
         from jax.sharding import PartitionSpec as P
 
-        spec = P(batch_axis, None, None, None)
+        spec = P(b_name, h_name, None, None)
         shard_fn = jax.shard_map(
             flash_4d,
             mesh=mesh,
