@@ -111,11 +111,17 @@ class InferenceServer:
         t_params: PyTree,
         vae_params: PyTree,
         config: Optional[ServeConfig] = None,
+        mesh: Any = None,
     ) -> None:
+        """`mesh`: optional Mesh with a "model" axis — the transformer params
+        are sharded tensor-parallel (parallel/tensor_parallel.py) and the
+        serving program is pinned to that layout; how full-scale FLUX.1
+        serves on a pod. The model should be built with
+        `attention_mesh=mesh` so the Pallas flash kernel shard_maps over
+        heads on TPU."""
         import jax
 
         self.model = model
-        self.t_params = t_params
         self.vae_params = vae_params
         self.config = config or ServeConfig()
         self._queues: Dict[Tuple[int, int], "queue.Queue[_Request]"] = {}
@@ -124,7 +130,23 @@ class InferenceServer:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._served = 0
-        self._step = jax.jit(self._build_step())
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ragb_vae_tpu.parallel.tensor_parallel import (
+                shard_transformer_params,
+            )
+
+            self.t_params, t_shardings = shard_transformer_params(t_params, mesh)
+            rep = NamedSharding(mesh, P())
+            self._step = jax.jit(
+                self._build_step(),
+                in_shardings=(t_shardings, rep, rep, rep),
+                out_shardings=rep,
+            )
+        else:
+            self.t_params = t_params
+            self._step = jax.jit(self._build_step())
 
     # -- jitted core ---------------------------------------------------
     def _build_step(self):

@@ -43,6 +43,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--max-delay-ms", type=float, default=30.0)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--tp", type=int, default=1,
+                   help="Tensor-parallel degree: shard the transformer over the "
+                   "first N devices' 'model' mesh axis (Megatron pattern, "
+                   "parallel/tensor_parallel.py). Full-scale FLUX.1 bf16 needs "
+                   "tp>=2 on 16 GB chips (or --quant int8 on one).")
     p.add_argument("--quant", type=str, default="none", choices=["none", "int8"],
                    help="Weight-only int8 transformer serving: full-scale FLUX.1 "
                    "fits one 16 GB chip (scripts/quantize_flux_checkpoint.py).")
@@ -64,6 +69,17 @@ def build_server(args) -> "InferenceServer":
     from ragb_vae_tpu.serving import InferenceServer, ServeConfig
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    mesh = None
+    if args.tp > 1:
+        from jax.sharding import Mesh
+        import numpy as _np
+
+        devices = jax.devices()
+        if len(devices) < args.tp:
+            raise SystemExit(
+                f"--tp {args.tp} needs {args.tp} devices, found {len(devices)}."
+            )
+        mesh = Mesh(_np.array(devices[: args.tp]), ("model",))
     if args.lora_path:
         meta = read_lora_metadata(args.lora_path)
         if meta:
@@ -77,6 +93,7 @@ def build_server(args) -> "InferenceServer":
         lora_rank=args.rank if args.lora_path else 0,
         lora_alpha=float(args.lora_alpha),
         weight_quant=args.quant,
+        attention_mesh=mesh,
     )
     if args.lora_path:
         t_params = model.load_lora(t_params, args.lora_path)
@@ -87,7 +104,7 @@ def build_server(args) -> "InferenceServer":
     cfg = ServeConfig(
         max_batch=args.max_batch, max_delay_ms=args.max_delay_ms, steps=args.steps
     )
-    return InferenceServer(model, t_params, vae_params, cfg)
+    return InferenceServer(model, t_params, vae_params, cfg, mesh=mesh)
 
 
 def make_handler(server) -> type:

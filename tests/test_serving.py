@@ -162,3 +162,22 @@ def test_serving_http_roundtrip(served_model):
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_serving_tensor_parallel_matches(served_model):
+    """InferenceServer(mesh=...) — TP-sharded serving returns the same
+    prediction as the single-device server for the same (image, seed)."""
+    from jax.sharding import Mesh
+
+    model, t_params, vae_params = served_model
+    img = np.random.default_rng(5).random((32, 32, 4)).astype(np.float32)
+    with InferenceServer(model, t_params, vae_params, _cfg()) as srv:
+        ref = srv.submit(img, seed=11).result(timeout=300)
+
+    mesh = Mesh(np.array(jax.devices()), ("model",))
+    with InferenceServer(model, t_params, vae_params, _cfg(), mesh=mesh) as srv:
+        # params got sharded at construction
+        kern = srv.t_params["transformer_blocks_0"]["attn"]["to_q"]["base"]["kernel"]
+        assert len(kern.sharding.device_set) == 8
+        out = srv.submit(img, seed=11).result(timeout=300)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
