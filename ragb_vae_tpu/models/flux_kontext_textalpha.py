@@ -369,6 +369,25 @@ class FluxTextAlphaModel:
             return None
         return jnp.full((batch_size,), self.guidance_scale, dtype=jnp.float32)
 
+    def _constrain_seq(self, tokens: Array) -> Array:
+        """Sequence parallelism: when `attention_mesh` carries an "sp" axis,
+        pin the (B, S, C) token streams sequence-sharded so every per-token
+        op (Dense/AdaLN/RoPE) runs on S/n_sp tokens per device; attention
+        all-gathers k/v inside its shard_map (ops/pallas/flash_attention.py).
+        The long stream at 1024² is 4096 image tokens — the activation
+        memory, not the params, is what sp divides."""
+        mesh = self.attention_mesh
+        if mesh is None or mesh.shape.get("sp", 1) <= 1:
+            return tokens
+        if tokens.shape[1] % mesh.shape["sp"] != 0:
+            return tokens
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = "data" if mesh.shape.get("data", 1) > 1 else None
+        return jax.lax.with_sharding_constraint(
+            tokens, NamedSharding(mesh, P(data, "sp", None))
+        )
+
     def _transformer_pred(
         self,
         params: PyTree,
@@ -385,6 +404,8 @@ class FluxTextAlphaModel:
             self.pooled_prompt_embeds,
             (batch_size,) + self.pooled_prompt_embeds.shape[1:],
         ).astype(self.dtype)
+        packed = self._constrain_seq(packed)
+        prompt = self._constrain_seq(prompt)
         return self.transformer.apply(
             {"params": params},
             hidden_states=packed,

@@ -418,30 +418,45 @@ def attention(
     mesh=None,
     batch_axis: str = "data",
     head_axis: str = "model",
+    seq_axis: str = "sp",
 ) -> Array:
     """(B, H, S, D) attention; flash kernel on TPU, chunked XLA elsewhere.
 
     Drop-in for `flux_transformer.default_attention` /
     `vae._chunked_attention` call sites.
 
-    Under GSPMD with a batch-sharded B, Mosaic kernels cannot be
-    auto-partitioned — pass `mesh` (the training mesh) and the flash call
-    is wrapped in a `shard_map` over `batch_axis`. Attention is
-    embarrassingly parallel over B, so the per-shard kernel is exact.
-    The same holds per-head: on a tensor-parallel serving mesh
-    (parallel/tensor_parallel.py) the q/k/v projections are
-    column-parallel so H arrives sharded over `head_axis`; each of the
-    mesh's B and H axes is shard_mapped iff present and divides the dim.
+    Under GSPMD, Mosaic kernels cannot be auto-partitioned — pass `mesh`
+    and the inner attention is wrapped in ONE shard_map over every mesh
+    axis that applies (each axis participates iff present in the mesh and
+    dividing its dim):
+
+    - `batch_axis` shards B (training DP): embarrassingly parallel, exact.
+    - `head_axis` shards H (tensor-parallel serving,
+      parallel/tensor_parallel.py: column-parallel q/k/v projections
+      deliver H already sharded): embarrassingly parallel, exact.
+    - `seq_axis` shards S (sequence parallelism for long token streams —
+      4k+ image tokens at 1024²): q stays local, k/v are all-gathered over
+      the axis inside the shard (standard all-gather SP; softmax rows are
+      complete so the result is exact). The all-gather rides ICI and is
+      O(S·D) vs the O(S²) attention it feeds.
+
+    On non-TPU the same shard_map wraps the chunked-XLA inner function,
+    so the collective dataflow is exercised by the CPU-mesh tests.
     """
     b, h, s, d = q.shape
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
     use_xla = force_xla if force_xla is not None else not _on_tpu()
-    if use_xla:
-        q3 = q.reshape(b * h, s, d)
-        k3 = k.reshape(b * h, k.shape[2], d)
-        v3 = v.reshape(b * h, v.shape[2], d)
-        return chunked_attention_3d(q3, k3, v3, sm_scale=sm_scale).reshape(b, h, s, d)
+
+    def xla_4d(q4, k4, v4):
+        bb, hh = q4.shape[0], q4.shape[1]
+        out = chunked_attention_3d(
+            q4.reshape(bb * hh, q4.shape[2], d),
+            k4.reshape(bb * hh, k4.shape[2], d),
+            v4.reshape(bb * hh, v4.shape[2], d),
+            sm_scale=sm_scale,
+        )
+        return out.reshape(q4.shape)
 
     # shrink blocks for short sequences (still >= the bf16 sublane tile)
     bq = min(block_q, max(128, 1 << math.ceil(math.log2(max(s, 1)))))
@@ -459,20 +474,36 @@ def attention(
         )
         return out.reshape(q4.shape)
 
-    b_shards = mesh.shape.get(batch_axis, 1) if mesh is not None else 1
-    h_shards = mesh.shape.get(head_axis, 1) if mesh is not None else 1
-    b_name = batch_axis if b_shards > 1 and b % b_shards == 0 else None
-    h_name = head_axis if h_shards > 1 and h % h_shards == 0 else None
-    if b_name or h_name:
+    inner = xla_4d if use_xla else flash_4d
+
+    def axis_name(axis: str, dim: int) -> Optional[str]:
+        if mesh is None:
+            return None
+        shards = mesh.shape.get(axis, 1)
+        return axis if shards > 1 and dim % shards == 0 else None
+
+    b_name = axis_name(batch_axis, b)
+    h_name = axis_name(head_axis, h)
+    s_name = axis_name(seq_axis, s)
+    if b_name or h_name or s_name:
         from jax.sharding import PartitionSpec as P
 
-        spec = P(b_name, h_name, None, None)
+        spec = P(b_name, h_name, s_name, None)
+
+        def sharded(q4, k4, v4):
+            if s_name is not None:
+                # sequence-parallel: every query shard attends over the
+                # FULL key/value stream
+                k4 = jax.lax.all_gather(k4, s_name, axis=2, tiled=True)
+                v4 = jax.lax.all_gather(v4, s_name, axis=2, tiled=True)
+            return inner(q4, k4, v4)
+
         shard_fn = jax.shard_map(
-            flash_4d,
+            sharded,
             mesh=mesh,
             in_specs=(spec, spec, spec),
             out_specs=spec,
             check_vma=False,  # pallas_call out_shape carries no vma info
         )
         return shard_fn(q, k, v)
-    return flash_4d(q, k, v)
+    return inner(q, k, v)
