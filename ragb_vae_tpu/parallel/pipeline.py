@@ -299,3 +299,89 @@ class PipelinedFluxTransformer:
         # stage s of microbatch m runs while stage s-1 handles m+1
         outs = [run_mb(m) for m in range(n_mb)]
         return jnp.concatenate([jax.device_put(o, self.devices[-1]) for o in outs])
+
+
+def pipelined_sample(
+    model: Any,
+    pipe: PipelinedFluxTransformer,
+    stage_params: List[PyTree],
+    vae_params: PyTree,
+    gt: Array,
+    *,
+    num_inference_steps: int = 20,
+    key: jax.Array,
+    microbatch: int = 1,
+) -> Array:
+    """`FluxTextAlphaModel.sample` with the transformer pipelined.
+
+    The denoising loop runs on the host (a cross-stage pipeline cannot
+    live inside one jitted scan); everything else — noise derivation from
+    `key`, the per-step re-noising quirk, the FlowMatchEuler step, the
+    packing/slicing — mirrors `sample_latents_from_noise`
+    (models/flux_kontext_textalpha.py) exactly, and
+    tests/test_pipeline_parallel.py pins equality with the monolithic
+    `model.sample` for identical keys.
+    """
+    from ragb_vae_tpu.ops.packing import (
+        pack_latents,
+        prepare_latent_image_ids,
+        unpack_latents,
+    )
+
+    k_enc, k_init, k_loop = jax.random.split(key, 3)
+    cond_latent = model.encode_latents(vae_params, gt, k_enc)
+    latents = jax.random.normal(k_init, cond_latent.shape, dtype=jnp.float32)
+    step_noises = [
+        jax.random.normal(
+            jax.random.fold_in(k_loop, i), cond_latent.shape, dtype=jnp.float32
+        )
+        for i in range(num_inference_steps)
+    ]
+
+    sched = model.sampling_schedule(num_inference_steps)
+    sigmas = np.asarray(sched.sigmas)
+    timesteps = np.asarray(sched.timesteps)
+
+    bsz = cond_latent.shape[0]
+    latent_h, latent_w = cond_latent.shape[1], cond_latent.shape[2]
+    ids_single = prepare_latent_image_ids(latent_h // 2, latent_w // 2)
+    img_ids = jnp.concatenate([ids_single, ids_single], axis=0)
+    packed_cond = pack_latents(cond_latent.astype(model.dtype))
+    seq_cond = packed_cond.shape[1]
+
+    prompt = jnp.broadcast_to(
+        model.prompt_embeds, (bsz,) + model.prompt_embeds.shape[1:]
+    ).astype(model.dtype)
+    pooled = jnp.broadcast_to(
+        model.pooled_prompt_embeds, (bsz,) + model.pooled_prompt_embeds.shape[1:]
+    ).astype(model.dtype)
+    guidance = model._guidance(bsz)
+
+    for i in range(num_inference_steps):
+        sigma = float(sigmas[i])
+        noisy = (1.0 - sigma) * latents + sigma * step_noises[i]
+        packed = jnp.concatenate(
+            [packed_cond, pack_latents(noisy.astype(model.dtype))], axis=1
+        )
+        timestep = jnp.broadcast_to(timesteps[i] / 1000.0, (bsz,))
+        pred = pipe(
+            stage_params,
+            hidden_states=packed,
+            encoder_hidden_states=prompt,
+            pooled_projections=pooled,
+            timestep=timestep,
+            img_ids=img_ids,
+            txt_ids=model.text_ids,
+            guidance=guidance,
+            microbatch=microbatch,
+        )
+        pred_target = unpack_latents(
+            pred[:, seq_cond:, :].astype(jnp.float32), latent_h, latent_w
+        )
+        latents = sched.step(pred_target, i, latents)
+
+    decoded = model.vae.decode(
+        vae_params,
+        (latents / model.scaling_factor + model.shift_factor).astype(model.dtype),
+    )
+    return jnp.clip((decoded.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)

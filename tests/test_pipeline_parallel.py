@@ -134,3 +134,52 @@ def test_pipeline_rejects_bad_microbatch():
     stage_params = pipe.place_params(params)
     with pytest.raises(ValueError, match="not divisible"):
         pipe(stage_params, **inputs, microbatch=3)
+
+
+def test_pipelined_sample_matches_monolithic():
+    """pipelined_sample == model.sample for identical keys (the product
+    path: full sampling loop with the transformer staged over devices)."""
+    from ragb_vae_tpu.models.flux_kontext_textalpha import FluxTextAlphaModel
+    from ragb_vae_tpu.models.rgba_vae import RgbaVAE
+    from ragb_vae_tpu.models.scheduler import (
+        FlowMatchEulerConfig,
+        FlowMatchEulerScheduler,
+    )
+    from ragb_vae_tpu.models.vae_config import AutoencoderConfig
+    from ragb_vae_tpu.parallel.pipeline import pipelined_sample
+
+    cfg = cfg4()
+    vae_cfg = AutoencoderConfig.tiny()
+    vae_cfg.in_channels = 4
+    vae_cfg.out_channels = 4
+    vae_cfg.sample_size = 32
+    vae = RgbaVAE(config=vae_cfg)
+    rng = np.random.default_rng(0)
+    model = FluxTextAlphaModel(
+        transformer_config=cfg,
+        vae=vae,
+        scheduler=FlowMatchEulerScheduler(FlowMatchEulerConfig()),
+        prompt_embeds=jnp.asarray(
+            rng.standard_normal((1, 4, cfg.joint_attention_dim)), jnp.float32
+        ),
+        pooled_prompt_embeds=jnp.asarray(
+            rng.standard_normal((1, cfg.pooled_projection_dim)), jnp.float32
+        ),
+        text_ids=jnp.zeros((4, 3), jnp.float32),
+    )
+    inputs = make_inputs(cfg)
+    params = model.transformer.init(jax.random.PRNGKey(1), **inputs)["params"]
+    vae_params = vae.init_params(jax.random.PRNGKey(2))
+    gt = jnp.asarray(rng.random((2, 32, 32, 4)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    ref = model.sample(params, vae_params, gt, num_inference_steps=3, key=key)
+
+    pipe = PipelinedFluxTransformer(cfg, devices=jax.devices()[:4])
+    out = pipelined_sample(
+        model, pipe, pipe.place_params(params), vae_params, gt,
+        num_inference_steps=3, key=key, microbatch=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
