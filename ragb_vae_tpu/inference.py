@@ -42,6 +42,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    "full-scale FLUX.1 fits one 16 GB chip. Loads a pre-quantized "
                    "checkpoint (scripts/quantize_flux_checkpoint.py) directly, or "
                    "quantizes a plain checkpoint host-side at load.")
+    p.add_argument("--pp", type=int, default=1,
+                   help="Pipeline-parallel stages: split the transformer's blocks "
+                   "over the first N devices (parallel/pipeline.py) — full-scale "
+                   "FLUX.1 bf16 across small-HBM chips with no per-block "
+                   "collectives. Composes with --quant int8.")
     return p.parse_args(argv)
 
 
@@ -86,14 +91,38 @@ def run(args: argparse.Namespace) -> None:
     else:
         model.vae.enable_slicing()
 
+    if args.pp > 1:
+        from ragb_vae_tpu.parallel.pipeline import (
+            PipelinedFluxTransformer,
+            pipelined_sample,
+        )
+
+        devices = jax.devices()
+        if len(devices) < args.pp:
+            raise SystemExit(f"--pp {args.pp} needs {args.pp} devices, found {len(devices)}.")
+        pipe = PipelinedFluxTransformer(
+            model.transformer_config, devices=devices[: args.pp],
+            dtype=dtype, weight_quant=args.quant,
+        )
+        stage_params = pipe.place_params(t_params)
+
+        def run_sample(t_params_unused, vae_params, batch, key):
+            return pipelined_sample(
+                model, pipe, stage_params, vae_params, batch,
+                num_inference_steps=args.steps, key=key,
+            )
+    else:
+        def run_sample(t_params, vae_params, batch, key):
+            return model.sample(
+                t_params, vae_params, batch, num_inference_steps=args.steps, key=key
+            )
+
     paths = _resolve_inputs(args.input_image)
     key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
 
     if len(paths) == 1:
         inp = load_rgba(paths[0])[None]  # (1, H, W, 4) in [0, 1]
-        pred = model.sample(
-            t_params, vae_params, jnp.asarray(inp), num_inference_steps=args.steps, key=key
-        )
+        pred = run_sample(t_params, vae_params, jnp.asarray(inp), key)
         save_rgba(np.asarray(pred[0]), args.output_path)
         print(f"Saved to {args.output_path}")
         return
@@ -114,9 +143,7 @@ def run(args: argparse.Namespace) -> None:
             chunk = items[start : start + max(1, args.batch_size)]
             batch = jnp.asarray(np.stack([arr for _, arr in chunk]))
             key, sub = jax.random.split(key)
-            preds = model.sample(
-                t_params, vae_params, batch, num_inference_steps=args.steps, key=sub
-            )
+            preds = run_sample(t_params, vae_params, batch, sub)
             for (path, _), pred in zip(chunk, np.asarray(preds)):
                 out = out_dir / (Path(path).stem + "_text_alpha.png")
                 save_rgba(pred, out)
