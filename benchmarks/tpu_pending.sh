@@ -1,0 +1,22 @@
+#!/bin/bash
+# Pending-on-tunnel TPU measurements (round 3). Run top to bottom once
+# `python -c "import jax; print(jax.devices())"` shows the chip again;
+# each step is independent and safe to re-run.
+set -x
+cd "$(dirname "$0")/.."
+
+# 1. On-chip memory analysis of the int8 sampler (CPU AOT showed no
+#    dequant hoisting; confirm on the TPU pass pipeline before trusting 2.)
+timeout 1200 python benchmarks/quant_aot.py --blocks mid
+timeout 1800 python benchmarks/quant_aot.py --blocks full
+
+# 2. Full-scale existence + warm-up on the chip (16 GB envelope check)
+timeout 2400 python benchmarks/full_scale_smoke.py --size 512 --steps 1
+
+# 3. THE headline serving number: full FLUX.1 (11.9 B) 20-step sampling
+#    throughput on one chip via weight-only int8
+timeout 3600 python benchmarks/sample_bench.py --blocks full --quant int8 --batches 1
+
+# 4. Regression check of the round-2/3 headline + training metrics
+timeout 1800 python bench.py
+timeout 1800 python bench.py --metric train_step
