@@ -105,6 +105,14 @@ def parse_args(args: Optional[List[str]] = None, *, allow_missing: bool = False)
              "ckpt_dir. Beyond-parity: the reference LoRA stage is save-only.",
     )
     parser.add_argument(
+        "--weight_quant", type=str, default="none", choices=["none", "int8"],
+        help="QLoRA-style training: store the FROZEN transformer base in "
+             "weight-only int8 (models/quantize.py) — full-scale FLUX.1 LoRA "
+             "fits one 16 GB chip (~11.1 GiB base vs 22.2 GiB bf16). Gradients "
+             "flow only to the fp32 adapters; each layer dequantizes its own "
+             "kernel, so training numerics see bf16 weights as usual.",
+    )
+    parser.add_argument(
         "--shard_base_params", action="store_true",
         help="FSDP-style sharding of the frozen transformer base over the data "
              "axis (needed when the base does not fit replicated per chip).",
@@ -138,12 +146,13 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
         lora_rank=args.rank,
         lora_alpha=float(args.lora_alpha),
         attention_mesh=mesh if n_devices > 1 else None,
+        weight_quant=getattr(args, "weight_quant", "none"),
     )
     # mesh-aware per-device slicing for the cond/target VAE encodes
     # (v5e conv fast path, benchmarks/results.md)
     model.vae.enable_slicing(mesh=mesh)
     base_params, lora_params = split_lora_params(t_params)
-    if dtype == jnp.bfloat16:
+    if dtype == jnp.bfloat16 and getattr(args, "weight_quant", "none") == "none":
         # The base is FROZEN: storing it at compute precision halves HBM
         # and FSDP all-gather traffic with no training-precision impact
         # (the reference likewise loads the transformer in bf16 under
@@ -438,6 +447,7 @@ def build_args_from_cfg(cfg: Dict[str, Any]) -> argparse.Namespace:
         ("max_grad_norm", "max_grad_norm", float),
         ("resume_from", "resume_from", str),
         ("shard_base_params", "shard_base_params", bool),
+        ("weight_quant", "weight_quant", str),
         ("seed", "seed", int),
     ):
         if train_cfg.get(src) is not None:
