@@ -147,6 +147,74 @@ int ragb_decode_batch_f32(const char** paths, int count, float* dst, int max_h,
   return failures.load();
 }
 
+// Encode a float32 [0,1] (h, w, 4) RGBA image to an 8-bit RGBA PNG.
+// compression: zlib level 0-9 (6 = libpng default; serving wants 1).
+// Returns 0 on success.
+int ragb_encode_png_f32(const char* path, const float* src, int h, int w,
+                        int compression) {
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return -1;
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    if (png) png_destroy_write_struct(&png, info ? &info : nullptr);
+    fclose(fp);
+    return -2;
+  }
+  png_init_io(png, fp);
+  if (compression >= 0 && compression <= 9)
+    png_set_compression_level(png, compression);
+  png_set_IHDR(png, info, (png_uint_32)w, (png_uint_32)h, 8,
+               PNG_COLOR_TYPE_RGBA, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+
+  std::vector<uint8_t> row((size_t)w * 4);
+  for (int y = 0; y < h; ++y) {
+    const float* srow = src + (size_t)y * w * 4;
+    for (int x = 0; x < w * 4; ++x) {
+      float v = srow[x];
+      v = v < 0.0f ? 0.0f : (v > 1.0f ? 1.0f : v);
+      // floor, matching the PIL path's (arr * 255).astype(uint8) exactly
+      row[x] = (uint8_t)(v * 255.0f);
+    }
+    png_write_row(png, row.data());
+  }
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  fclose(fp);
+  return 0;
+}
+
+// Encode `count` same-sized images from one (count, h, w, 4) float32 batch
+// with `num_threads` workers (the serving daemon's response path). Returns
+// the number of failures; per-image status in `status` if non-null.
+int ragb_encode_batch_f32(const char** paths, int count, const float* src,
+                          int h, int w, int compression, int num_threads,
+                          int* status) {
+  if (count <= 0) return 0;
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > count) num_threads = count;
+  std::atomic<int> next(0), failures(0);
+  const size_t stride = (size_t)h * w * 4;
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= count) break;
+      int rc = ragb_encode_png_f32(paths[i], src + stride * i, h, w,
+                                   compression);
+      if (status) status[i] = rc;
+      if (rc != 0) failures.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failures.load();
+}
+
 // uint8 HWC -> float32 [0,1] (utility for non-PNG sources).
 void ragb_u8_to_f32(const uint8_t* src, float* dst, long long n) {
   const float inv = 1.0f / 255.0f;

@@ -68,8 +68,21 @@ def load_rgba(path: Union[str, Path]) -> np.ndarray:
 
 
 def save_rgba(array: np.ndarray, path: Union[str, Path]) -> None:
-    """(H, W, 4) float in [0,1] -> PNG file."""
+    """(H, W, 4) float in [0,1] -> PNG file.
+
+    PNG outputs take the native C++ encode (clip + quantize + libpng in
+    one pass, native/rgba_io.cpp) when the library is built; other
+    suffixes — and any native failure — go through PIL."""
     arr = np.clip(np.asarray(array, dtype=np.float32), 0.0, 1.0)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if path.suffix.lower() == ".png":
+        from ragb_vae_tpu.data import native_io
+
+        if native_io.available():
+            try:
+                return native_io.encode_png(path, arr)
+            except Exception:
+                pass  # PIL fallback below
     img = Image.fromarray((arr * 255).astype(np.uint8), mode="RGBA")
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
     img.save(path)

@@ -76,6 +76,25 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int),
     ]
     lib.ragb_decode_batch_f32.restype = ctypes.c_int
+    lib.ragb_encode_png_f32.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.ragb_encode_png_f32.restype = ctypes.c_int
+    lib.ragb_encode_batch_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.ragb_encode_batch_f32.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -144,3 +163,57 @@ def decode_batch(
         bad: List[str] = [str(paths[i]) for i in range(count) if status[i] != 0]
         raise IOError(f"native decode failed for {len(bad)} images, first: {bad[0]}")
     return out
+
+
+def encode_png(path, image: np.ndarray, *, compression: int = 6) -> None:
+    """Encode one (H, W, 4) float32 [0,1] image to an 8-bit RGBA PNG."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library not available")
+    arr = np.ascontiguousarray(image, dtype=np.float32)
+    if arr.ndim != 3 or arr.shape[-1] != 4:
+        raise ValueError(f"encode_png expects (H, W, 4), got {arr.shape}")
+    rc = lib.ragb_encode_png_f32(
+        str(path).encode(),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        arr.shape[0],
+        arr.shape[1],
+        compression,
+    )
+    if rc != 0:
+        raise IOError(f"ragb_encode_png_f32 failed ({rc}) for {path}")
+
+
+def encode_batch(
+    paths: Sequence,
+    batch: np.ndarray,
+    *,
+    compression: int = 6,
+    num_threads: int = 8,
+) -> None:
+    """Encode a (B, H, W, 4) float32 [0,1] batch to PNGs with C++ worker
+    threads (the serving daemon / batch-inference response path)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library not available")
+    arr = np.ascontiguousarray(batch, dtype=np.float32)
+    if arr.ndim != 4 or arr.shape[-1] != 4:
+        raise ValueError(f"encode_batch expects (B, H, W, 4), got {arr.shape}")
+    if len(paths) != arr.shape[0]:
+        raise ValueError(f"{len(paths)} paths for batch of {arr.shape[0]}")
+    count = len(paths)
+    c_paths = (ctypes.c_char_p * count)(*[str(p).encode() for p in paths])
+    status = (ctypes.c_int * count)()
+    failures = lib.ragb_encode_batch_f32(
+        c_paths,
+        count,
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        arr.shape[1],
+        arr.shape[2],
+        compression,
+        num_threads,
+        status,
+    )
+    if failures:
+        bad = [str(paths[i]) for i in range(count) if status[i] != 0]
+        raise IOError(f"native encode failed for {len(bad)} images, first: {bad[0]}")

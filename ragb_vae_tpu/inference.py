@@ -143,11 +143,19 @@ def run(args: argparse.Namespace) -> None:
             chunk = items[start : start + max(1, args.batch_size)]
             batch = jnp.asarray(np.stack([arr for _, arr in chunk]))
             key, sub = jax.random.split(key)
-            preds = run_sample(t_params, vae_params, batch, sub)
-            for (path, _), pred in zip(chunk, np.asarray(preds)):
-                out = out_dir / (Path(path).stem + "_text_alpha.png")
-                save_rgba(pred, out)
-                done += 1
+            preds = np.asarray(run_sample(t_params, vae_params, batch, sub))
+            outs = [
+                out_dir / (Path(path).stem + "_text_alpha.png") for path, _ in chunk
+            ]
+            from ragb_vae_tpu.data import native_io
+
+            if native_io.available():
+                # threaded C++ batch encode (native/rgba_io.cpp)
+                native_io.encode_batch(outs, np.clip(preds, 0.0, 1.0))
+            else:
+                for out, pred in zip(outs, preds):
+                    save_rgba(pred, out)
+            done += len(chunk)
     print(f"Saved {done} predictions to {out_dir}")
 
 

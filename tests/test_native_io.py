@@ -63,3 +63,53 @@ def test_decode_batch_threaded(pngs, tmp_path):
 def test_decode_too_small_buffer_raises(pngs):
     with pytest.raises(IOError):
         native_io.decode_png(pngs[1], max_h=8, max_w=8)
+
+
+def test_native_encode_matches_pil(tmp_path):
+    """encode_png pixels == the PIL save path's quantization, exactly."""
+    from ragb_vae_tpu.data import native_io
+    from ragb_vae_tpu.data.image_io import load_rgba
+
+    if not native_io.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    img = rng.random((40, 24, 4)).astype(np.float32)
+    img[0, 0] = [0.0, 1.0, 0.5, 2.0]  # clip + endpoints
+
+    native_io.encode_png(tmp_path / "n.png", img)
+    from PIL import Image
+
+    arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    Image.fromarray(arr, mode="RGBA").save(tmp_path / "p.png")
+    a = np.asarray(Image.open(tmp_path / "n.png"))
+    b = np.asarray(Image.open(tmp_path / "p.png"))
+    np.testing.assert_array_equal(a, b)
+
+    # roundtrip through the repo loader
+    back = load_rgba(tmp_path / "n.png")
+    np.testing.assert_allclose(back, np.clip(img, 0, 1), atol=1 / 255 + 1e-6)
+
+
+def test_native_encode_batch(tmp_path):
+    import pytest
+
+    from ragb_vae_tpu.data import native_io
+
+    if not native_io.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(1)
+    batch = rng.random((5, 16, 16, 4)).astype(np.float32)
+    paths = [tmp_path / f"b{i}.png" for i in range(5)]
+    native_io.encode_batch(paths, batch, num_threads=3)
+    from PIL import Image
+
+    for i, p in enumerate(paths):
+        a = np.asarray(Image.open(p))
+        np.testing.assert_array_equal(a, (batch[i] * 255).astype(np.uint8))
+
+    with pytest.raises(ValueError, match="paths"):
+        native_io.encode_batch(paths[:2], batch)
+    with pytest.raises(ValueError, match="expects"):
+        native_io.encode_batch(paths, batch[..., :3])
