@@ -137,3 +137,32 @@ def test_sp_sample_matches(sp_setup):
     mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "sp"))
     out = build(mesh).sample(t_params, vae_params, gt, num_inference_steps=2, key=key)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_sp_sample_int8(sp_setup):
+    """sp composes with weight-only int8 at sample time."""
+    from ragb_vae_tpu.models.quantize import quantize_transformer_params
+
+    build, t_params, vae_params, gt, _ = sp_setup
+    qparams = quantize_transformer_params(jax.device_get(t_params))
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "sp"))
+
+    def build_q(mesh_):
+        base = build(mesh_)
+        return FluxTextAlphaModel(
+            transformer_config=base.transformer_config,
+            vae=base.vae,
+            scheduler=base.scheduler,
+            prompt_embeds=base.prompt_embeds,
+            pooled_prompt_embeds=base.pooled_prompt_embeds,
+            text_ids=base.text_ids,
+            lora_rank=base.lora_rank,
+            lora_alpha=base.lora_alpha,
+            attention_mesh=mesh_,
+            weight_quant="int8",
+        )
+
+    key = jax.random.PRNGKey(9)
+    ref = build_q(None).sample(qparams, vae_params, gt, num_inference_steps=2, key=key)
+    out = build_q(mesh).sample(qparams, vae_params, gt, num_inference_steps=2, key=key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-4, atol=3e-4)
