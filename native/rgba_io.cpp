@@ -30,6 +30,8 @@ int ragb_decode_png_f32(const char* path, float* dst, int max_h, int max_w,
   FILE* fp = fopen(path, "rb");
   if (!fp) return -1;
 
+  // declared before setjmp: a libpng longjmp must not skip the destructor
+  std::vector<uint8_t> row;
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
   if (!png) {
@@ -76,7 +78,7 @@ int ragb_decode_png_f32(const char* path, float* dst, int max_h, int max_w,
     return -4;  // caller buffer too small
   }
 
-  std::vector<uint8_t> row(png_get_rowbytes(png, info));
+  row.resize(png_get_rowbytes(png, info));
   const float inv = 1.0f / 255.0f;
   // zero the destination (padding)
   std::memset(dst, 0, sizeof(float) * (size_t)max_h * max_w * 4);
@@ -154,6 +156,8 @@ int ragb_encode_png_f32(const char* path, const float* src, int h, int w,
                         int compression) {
   FILE* fp = fopen(path, "wb");
   if (!fp) return -1;
+  // declared before setjmp: a libpng longjmp must not skip the destructor
+  std::vector<uint8_t> row((size_t)w * 4);
   png_structp png =
       png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
   png_infop info = png ? png_create_info_struct(png) : nullptr;
@@ -170,7 +174,6 @@ int ragb_encode_png_f32(const char* path, const float* src, int h, int w,
                PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
   png_write_info(png, info);
 
-  std::vector<uint8_t> row((size_t)w * 4);
   for (int y = 0; y < h; ++y) {
     const float* srow = src + (size_t)y * w * 4;
     for (int x = 0; x < w * 4; ++x) {

@@ -21,17 +21,16 @@ _lib: Optional[ctypes.CDLL] = None
 _load_attempted = False
 
 
-def _try_build() -> None:
+def _try_build(force: bool = False) -> None:
     native_dir = Path(__file__).resolve().parent.parent.parent / "native"
     if not (native_dir / "Makefile").exists():
         return
     try:
-        subprocess.run(
-            ["make", "-C", str(native_dir)],
-            capture_output=True,
-            timeout=120,
-            check=False,
-        )
+        cmd = ["make", "-C", str(native_dir)]
+        if force:
+            subprocess.run(cmd + ["clean"], capture_output=True, timeout=60,
+                           check=False)
+        subprocess.run(cmd, capture_output=True, timeout=120, check=False)
     except Exception:
         pass
 
@@ -51,6 +50,17 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
         return None
+    if not hasattr(lib, "ragb_encode_batch_f32"):
+        # stale prebuilt library from before the encode symbols existed:
+        # rebuild once and reload; degrade to PIL if still missing
+        del lib
+        _try_build(force=True)
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            return None
+        if not hasattr(lib, "ragb_encode_batch_f32"):
+            return None
     lib.ragb_decode_png_f32.argtypes = [
         ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_float),

@@ -103,6 +103,8 @@ def run(args: argparse.Namespace) -> None:
         pipe = PipelinedFluxTransformer(
             model.transformer_config, devices=devices[: args.pp],
             dtype=dtype, weight_quant=args.quant,
+            lora_rank=args.rank if args.lora_path else 0,
+            lora_alpha=float(args.lora_alpha),
         )
         stage_params = pipe.place_params(t_params)
 
@@ -144,9 +146,14 @@ def run(args: argparse.Namespace) -> None:
             batch = jnp.asarray(np.stack([arr for _, arr in chunk]))
             key, sub = jax.random.split(key)
             preds = np.asarray(run_sample(t_params, vae_params, batch, sub))
-            outs = [
-                out_dir / (Path(path).stem + "_text_alpha.png") for path, _ in chunk
-            ]
+            outs = []
+            for path, _ in chunk:
+                out = out_dir / (Path(path).stem + "_text_alpha.png")
+                n = 1
+                while out in outs:  # same stem from different input dirs
+                    out = out_dir / (Path(path).stem + f"_text_alpha_{n}.png")
+                    n += 1
+                outs.append(out)
             from ragb_vae_tpu.data import native_io
 
             if native_io.available():

@@ -104,6 +104,8 @@ class PipelineStage(nn.Module):
     is_last: bool
     dtype: jnp.dtype = jnp.float32
     weight_quant: str = "none"
+    lora_rank: int = 0
+    lora_alpha: float = 0.0
 
     @nn.compact
     def __call__(
@@ -140,6 +142,7 @@ class PipelineStage(nn.Module):
         for i in self.double_blocks:
             img, txt = FluxTransformerBlock(
                 cfg, dtype=self.dtype, weight_quant=self.weight_quant,
+                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
                 name=f"transformer_blocks_{i}",
             )(img, txt, temb, rope)
 
@@ -148,6 +151,7 @@ class PipelineStage(nn.Module):
             for i in self.single_blocks:
                 x = FluxSingleTransformerBlock(
                     cfg, dtype=self.dtype, weight_quant=self.weight_quant,
+                    lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
                     name=f"single_transformer_blocks_{i}",
                 )(x, temb, rope)
             txt, img = x[:, : txt.shape[1]], x[:, txt.shape[1] :]
@@ -219,6 +223,8 @@ class PipelinedFluxTransformer:
         *,
         dtype: jnp.dtype = jnp.float32,
         weight_quant: str = "none",
+        lora_rank: int = 0,
+        lora_alpha: float = 0.0,
     ) -> None:
         if len(devices) < 1:
             raise ValueError("Need at least one device.")
@@ -236,13 +242,30 @@ class PipelinedFluxTransformer:
                 is_last=(s == self.n_stages - 1),
                 dtype=dtype,
                 weight_quant=weight_quant,
+                lora_rank=lora_rank,
+                lora_alpha=lora_alpha,
             )
             for s, (dr, sr) in enumerate(ranges)
         ]
+        # loop-invariant small tensors (pooled/ids/guidance) are re-sent to
+        # every stage on every microbatch of every denoising step otherwise;
+        # the cache holds a ref so id() stays valid for its lifetime
+        self._const_cache: dict = {}
         self._fns = [
             jax.jit((lambda stage: lambda p, *a: stage.apply({"params": p}, *a))(stage))
             for stage in self.stages
         ]
+
+    def _put_cached(self, arr: Array, dev: Any) -> Array:
+        entry = self._const_cache.get(id(arr))
+        if entry is None or entry[0] is not arr:
+            entry = (arr, {})
+            self._const_cache[id(arr)] = entry
+        placed = entry[1].get(dev)
+        if placed is None:
+            placed = jax.device_put(arr, dev)
+            entry[1][dev] = placed
+        return placed
 
     def place_params(self, params: PyTree) -> List[PyTree]:
         subtrees = split_transformer_params(params, self.config, self.n_stages)
@@ -284,11 +307,11 @@ class PipelinedFluxTransformer:
                 carrier = jax.device_put(carrier, dev)
                 res = fn(
                     p, *carrier,
-                    jax.device_put(pooled, dev),
-                    jax.device_put(ts, dev),
-                    None if g is None else jax.device_put(g, dev),
-                    jax.device_put(img_ids, dev),
-                    jax.device_put(txt_ids, dev),
+                    self._put_cached(pooled, dev),
+                    jax.device_put(ts, dev),  # varies per step — not cached
+                    None if g is None else self._put_cached(g, dev),
+                    self._put_cached(img_ids, dev),
+                    self._put_cached(txt_ids, dev),
                 )
                 if s == self.n_stages - 1:
                     return res

@@ -183,3 +183,39 @@ def test_pipelined_sample_matches_monolithic():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_pipeline_lora_adapters_apply():
+    """PP with lora_rank > 0 must USE the adapters (regression: stage
+    modules built without lora_rank silently drop trained LoRA weights)."""
+    cfg = cfg4()
+    inputs = make_inputs(cfg, bsz=2)
+    model = FluxTransformer2D(cfg, lora_rank=2, lora_alpha=4.0)
+    params = model.init(jax.random.PRNGKey(0), **inputs)["params"]
+    # make the adapters non-trivial (lora_b inits to zero = no-op bypass)
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: (
+            jnp.asarray(
+                np.random.default_rng(7).standard_normal(v.shape) * 0.1, v.dtype
+            )
+            if p[-1].key == "lora_b"
+            else v
+        ),
+        params,
+    )
+    ref = np.asarray(model.apply({"params": params}, **inputs))
+
+    pipe = PipelinedFluxTransformer(
+        cfg, devices=jax.devices()[:4], lora_rank=2, lora_alpha=4.0
+    )
+    out = np.asarray(pipe(pipe.place_params(params), **inputs, microbatch=1))
+    # LoRA bypass adds another f32 chain; staged vs monolithic fusion order
+    # differs at the last ulp
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    # and the adapters genuinely mattered: zeroing them changes the output
+    zeroed = jax.tree_util.tree_map_with_path(
+        lambda p, v: jnp.zeros_like(v) if p[-1].key == "lora_b" else v, params
+    )
+    out0 = np.asarray(pipe(pipe.place_params(zeroed), **inputs, microbatch=1))
+    assert np.max(np.abs(out0 - ref)) > 1e-4
