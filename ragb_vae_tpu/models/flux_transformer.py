@@ -166,9 +166,10 @@ class QDense(nn.Module):
             scale = self.param(
                 "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
             )
-            # int8 -> compute dtype is exact (|q| <= 127 fits bf16's 8-bit
-            # mantissa); the per-channel scale is applied in compute dtype
-            w = kernel_q.astype(self.dtype) * scale.astype(self.dtype)[None, :]
+            # dequantize in f32 and round ONCE into the compute dtype: under
+            # bf16 this halves the error vs multiplying two bf16-rounded
+            # operands (the f32 intermediate is one layer's weights, transient)
+            w = (kernel_q.astype(jnp.float32) * scale[None, :]).astype(self.dtype)
         elif self.weight_quant == "none":
             kernel = self.param(
                 "kernel",
