@@ -180,8 +180,11 @@ def load_lpips_params(path: Union[str, Path]) -> LPIPSParams:
             w = np.asarray(state.get(lin_key, state.get(alt_key)), dtype=np.float32)
             lins.append(np.maximum(w.reshape(-1), 0.0))
         else:
+            # lpips baseline mode (LPIPS(net="vgg", lpips=False)) SUMS the
+            # channel diffs — unit weights, not 1/C (a 1/C mean would
+            # underweight deep 512-channel layers 8x vs the shallow ones)
             c_out = convs[slice_convs[-1]]["kernel"].shape[-1]
-            lins.append(np.full((c_out,), 1.0 / c_out, dtype=np.float32))
+            lins.append(np.ones((c_out,), dtype=np.float32))
     return LPIPSParams(convs, lins)
 
 

@@ -1923,13 +1923,21 @@ def _subpixel_fwd_impl(x, w, bias, tile_h):
     n_out = w.shape[-1]
     itemsize = 2 if x.dtype == jnp.bfloat16 else 4
     if tile_h is None:
-        tile_h = None
         for cand in (32, 16, 8, 4):
             if height % cand == 0 and _subpixel_vmem_bytes(
                 cand, width, c_in, n_out, itemsize
             ) <= SUBPIXEL_TILE_BUDGET:
                 tile_h = cand
                 break
+        else:
+            # the public entry (fused_upsample_conv3x3_stats) routes such
+            # shapes to _xla_upsample_conv BEFORE entering the chain; an
+            # internal caller reaching here must hear why, not a TypeError
+            raise ValueError(
+                f"no subpixel tile fits h={height} w={width} C={c_in} "
+                f"N={n_out} under {SUBPIXEL_TILE_BUDGET >> 20} MiB VMEM; "
+                "use fused_upsample_conv3x3_stats (XLA fallback) instead"
+            )
     vmem = _subpixel_vmem_bytes(tile_h, width, c_in, n_out, itemsize)
     # fold in fp32: summing re-associated taps in bf16 costs ~4x the
     # output error of the fp32 fold (measured on-chip)
@@ -2250,6 +2258,8 @@ def _subpixel_bwd_vmem_bytes(tile_h, width, c_in, n_out, itemsize):
         + (tile_h + 2) * width * 3 * c_in * itemsize           # pxbuf
         + tile_h * width * c_in * 4                            # dx accumulator
         + 8 * 2 * c_in * n_out * 4                             # dwf_acc fp32
+        + 8 * 2 * c_in * n_out * 4                             # dwf OUT block
+        + 2 * n_out * 4                                        # dbias out + acc
         + 4 * 4 * n_out * c_in * itemsize                      # folded weights
         + 2 * tile_h * width * c_in * itemsize                 # dx out (2x)
     )

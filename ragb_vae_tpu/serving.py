@@ -60,22 +60,48 @@ def snap_size(
         scale = (max_pixels / (h * w)) ** 0.5
         h = max(min_side, int(h * scale) // multiple * multiple)
         w = max(min_side, int(w * scale) // multiple * multiple)
+    # a min_side clamp above can push the area back over max_pixels for
+    # extreme aspect ratios (e.g. 65536x64) — shrink the long side so the
+    # bucket envelope (and therefore the compile count) stays bounded
+    if h * w > max_pixels:
+        if h >= w:
+            h = max(min_side, (max_pixels // w) // multiple * multiple)
+        else:
+            w = max(min_side, (max_pixels // h) // multiple * multiple)
     return h, w
 
 
 def resize_rgba(image: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
-    """Bilinear-resize an (H, W, 4) float [0,1] image to `size` (h, w)."""
+    """Bilinear-resize an (H, W, 4) float [0,1] RGBA image to `size` (h, w).
+
+    Float-space and alpha-premultiplied: quantizing the model's continuous
+    output through uint8 before resizing would collapse alpha to 256
+    levels, and interpolating straight (non-premultiplied) RGBA bleeds the
+    RGB of fully-transparent pixels into opaque neighbors (color fringes
+    at alpha edges). Premultiply -> per-channel float bilinear ->
+    unpremultiply avoids both."""
     if image.ndim != 3 or image.shape[-1] != 4:
         raise ValueError(f"Expected (H, W, 4) RGBA, got {image.shape}.")
     if image.shape[:2] == tuple(size):
         return image
     from PIL import Image
 
-    arr = (np.clip(image, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
-    out = Image.fromarray(arr, mode="RGBA").resize(
-        (size[1], size[0]), Image.BILINEAR
-    )
-    return np.asarray(out, dtype=np.float32) / 255.0
+    arr = np.clip(np.asarray(image, np.float32), 0.0, 1.0)
+    alpha = arr[..., 3:4]
+    pre = np.concatenate([arr[..., :3] * alpha, alpha], axis=-1)
+    chans = [
+        np.asarray(
+            Image.fromarray(pre[..., c], mode="F").resize(
+                (size[1], size[0]), Image.BILINEAR
+            ),
+            np.float32,
+        )
+        for c in range(4)
+    ]
+    out = np.stack(chans, axis=-1)
+    a = out[..., 3:4]
+    rgb = np.where(a > 1e-6, out[..., :3] / np.maximum(a, 1e-6), 0.0)
+    return np.clip(np.concatenate([rgb, a], axis=-1), 0.0, 1.0)
 
 
 @dataclass
@@ -94,6 +120,7 @@ class _Request:
     orig_size: Tuple[int, int]
     seed: int
     future: "Future[np.ndarray]" = field(default_factory=Future)
+    enqueued: float = field(default_factory=time.monotonic)
 
 
 class InferenceServer:
@@ -196,7 +223,9 @@ class InferenceServer:
         """Enqueue one RGBA image; returns a Future of the prediction."""
         if self._stop.is_set():
             raise RuntimeError("InferenceServer is stopped.")
-        image = np.asarray(image, dtype=np.float32)
+        # copy: np.asarray would alias a caller-owned float32 buffer, and a
+        # caller mutating it while the request is queued would corrupt the batch
+        image = np.array(image, dtype=np.float32, copy=True)
         if image.ndim != 3 or image.shape[-1] != 4:
             raise ValueError(
                 f"submit() expects one (H, W, 4) RGBA image, got {image.shape}."
@@ -210,11 +239,21 @@ class InferenceServer:
         req = _Request(
             image=resize_rgba(image, bucket),
             orig_size=orig,
-            seed=int(seed) if seed is not None else int(time.time_ns() % (2**31)),
+            # mask into uint32 range: an out-of-range seed would raise in the
+            # np.uint32 batch assembly and fail every co-batched request
+            seed=(int(seed) & 0xFFFFFFFF) if seed is not None
+            else int(time.time_ns() % (2**31)),
         )
         with self._queues_lock:
             q = self._queues.setdefault(bucket, queue.Queue())
         q.put(req)
+        if self._stop.is_set() and not req.future.done():
+            # raced stop(): the batcher's final drain may already have run,
+            # so nobody will ever read this queue entry
+            try:
+                req.future.set_exception(RuntimeError("Server stopped."))
+            except Exception:
+                pass  # drain got it first
         self._wake.set()
         return req.future
 
@@ -274,6 +313,22 @@ class InferenceServer:
             if batch is None:
                 continue
             bucket, reqs = batch
+            # drop requests already past the client timeout: their callers
+            # are gone, and launching them would burn a full sampler run
+            # exactly when the server is saturated (retry amplification)
+            now = time.monotonic()
+            live: List[_Request] = []
+            for r in reqs:
+                if now - r.enqueued > self.config.request_timeout_s:
+                    if not r.future.done():
+                        r.future.set_exception(
+                            TimeoutError("request expired in queue")
+                        )
+                else:
+                    live.append(r)
+            reqs = live
+            if not reqs:
+                continue
             try:
                 self._launch(reqs)
             except Exception as exc:  # surface failures on the futures
@@ -293,26 +348,41 @@ class InferenceServer:
                     req.future.set_exception(RuntimeError("Server stopped."))
 
     def _collect(self, max_delay: float) -> Optional[Tuple[Tuple[int, int], List[_Request]]]:
-        """Pick the bucket with the most waiters; launch when full or aged."""
-        deadline = None
+        """Launch a full bucket immediately; otherwise launch the oldest
+        EXPIRED bucket. Deadlines are per bucket (first-waiter age), so a
+        quiet bucket cannot be starved by a busier one resetting a shared
+        timer — max_delay_ms is a real per-bucket latency bound."""
+        deadlines: Dict[Tuple[int, int], float] = getattr(self, "_bucket_deadlines", None)
+        if deadlines is None:
+            deadlines = self._bucket_deadlines = {}
         while not self._stop.is_set():
             with self._queues_lock:
                 ready = [(q.qsize(), b, q) for b, q in self._queues.items() if q.qsize()]
             if not ready:
+                deadlines.clear()
                 self._wake.wait(timeout=0.1)
                 self._wake.clear()
-                deadline = None
                 continue
+            now = time.monotonic()
+            active = {b for _, b, _ in ready}
+            for stale in [b for b in deadlines if b not in active]:
+                del deadlines[stale]
+            for _, b, _ in ready:
+                deadlines.setdefault(b, now + max_delay)
+
             ready.sort(reverse=True, key=lambda t: t[0])
             size, bucket, q = ready[0]
             if size >= self.config.max_batch:
+                deadlines.pop(bucket, None)
                 return bucket, self._take(q, self.config.max_batch)
-            now = time.monotonic()
-            if deadline is None:
-                deadline = now + max_delay
-            if now >= deadline:
+            expired = [
+                (sz, b, qq) for sz, b, qq in ready if deadlines[b] <= now
+            ]
+            if expired:
+                _, bucket, q = max(expired, key=lambda t: t[0])
+                deadlines.pop(bucket, None)
                 return bucket, self._take(q, self.config.max_batch)
-            self._wake.wait(timeout=deadline - now)
+            self._wake.wait(timeout=max(min(deadlines.values()) - now, 1e-3))
             self._wake.clear()
         return None
 

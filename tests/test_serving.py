@@ -29,6 +29,27 @@ def test_snap_size_buckets():
         snap_size(0, 64)
 
 
+def test_snap_size_extreme_aspect_bounded():
+    """min_side clamps must not push the bucket back over max_pixels
+    (unbounded buckets = one fresh minutes-long compile per request)."""
+    for hw in [(65536, 64), (64, 65536), (100000, 1), (1, 100000)]:
+        h, w = snap_size(*hw, multiple=64, max_pixels=1024 * 1024)
+        assert h * w <= 1024 * 1024, (hw, h, w)
+        assert h >= 64 and w >= 64
+
+
+def test_resize_rgba_premultiplied_no_fringing():
+    """Transparent pixels' RGB must not bleed into opaque neighbors."""
+    img = np.zeros((8, 8, 4), np.float32)
+    img[:, :4] = [1.0, 0.0, 0.0, 0.0]   # transparent red left half
+    img[:, 4:] = [0.0, 1.0, 0.0, 1.0]   # opaque green right half
+    out = resize_rgba(img, (4, 4))
+    opaque = out[..., 3] > 0.5
+    assert opaque.any()
+    # straight-RGBA interpolation would leak red ~0.5 at the seam
+    assert float(out[..., 0][opaque].max()) < 0.05
+
+
 def test_resize_rgba_roundtrip():
     img = np.random.default_rng(0).random((32, 48, 4)).astype(np.float32)
     assert resize_rgba(img, (32, 48)) is img
@@ -82,6 +103,33 @@ def test_serving_batches_and_resizes(served_model):
     for o in outs:
         assert np.isfinite(o).all() and o.min() >= 0.0 and o.max() <= 1.0
     assert srv.stats["served"] == 4 and srv.stats["pending"] == 0
+
+
+def test_serving_out_of_range_seed(served_model):
+    """seed=-1 (or any out-of-uint32 value) must not fail the batch."""
+    model, t_params, vae_params = served_model
+    img = np.random.default_rng(3).random((32, 32, 4)).astype(np.float32)
+    with InferenceServer(model, t_params, vae_params, _cfg()) as srv:
+        out = srv.submit(img, seed=-1).result(timeout=300)
+        out2 = srv.submit(img, seed=2**40 + (2**32 - 1)).result(timeout=300)
+    assert np.isfinite(out).all() and np.isfinite(out2).all()
+    # -1 and 2**40 + (2**32-1) both mask to 0xFFFFFFFF -> same prediction
+    np.testing.assert_allclose(out, out2, atol=1e-6)
+
+
+def test_serving_submit_copies_input(served_model):
+    """Caller mutating its buffer after submit() must not corrupt the batch."""
+    model, t_params, vae_params = served_model
+    rng = np.random.default_rng(4)
+    img = rng.random((32, 32, 4)).astype(np.float32)
+    snapshot = img.copy()
+    srv = InferenceServer(model, t_params, vae_params, _cfg())
+    with srv:
+        fut = srv.submit(img, seed=5)
+        img[:] = 0.0  # caller reuses the buffer while the request is queued
+        out = fut.result(timeout=300)
+        ref = srv.submit(snapshot, seed=5).result(timeout=300)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
 def test_serving_per_request_determinism(served_model):
