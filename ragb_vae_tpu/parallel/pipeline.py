@@ -324,42 +324,27 @@ class PipelinedFluxTransformer:
         return jnp.concatenate([jax.device_put(o, self.devices[-1]) for o in outs])
 
 
-def pipelined_sample(
+def pipelined_sample_latents(
     model: Any,
     pipe: PipelinedFluxTransformer,
     stage_params: List[PyTree],
-    vae_params: PyTree,
-    gt: Array,
+    cond_latent: Array,
+    init_noise: Array,
+    step_noises: Any,
     *,
-    num_inference_steps: int = 20,
-    key: jax.Array,
     microbatch: int = 1,
 ) -> Array:
-    """`FluxTextAlphaModel.sample` with the transformer pipelined.
-
-    The denoising loop runs on the host (a cross-stage pipeline cannot
-    live inside one jitted scan); everything else — noise derivation from
-    `key`, the per-step re-noising quirk, the FlowMatchEuler step, the
-    packing/slicing — mirrors `sample_latents_from_noise`
-    (models/flux_kontext_textalpha.py) exactly, and
-    tests/test_pipeline_parallel.py pins equality with the monolithic
-    `model.sample` for identical keys.
-    """
+    """Noise-injected core of `pipelined_sample` — the pipelined
+    counterpart of `sample_latents_from_noise` (same contract: ALL noise
+    is an argument, so per-request determinism holds for serving)."""
     from ragb_vae_tpu.ops.packing import (
         pack_latents,
         prepare_latent_image_ids,
         unpack_latents,
     )
 
-    k_enc, k_init, k_loop = jax.random.split(key, 3)
-    cond_latent = model.encode_latents(vae_params, gt, k_enc)
-    latents = jax.random.normal(k_init, cond_latent.shape, dtype=jnp.float32)
-    step_noises = [
-        jax.random.normal(
-            jax.random.fold_in(k_loop, i), cond_latent.shape, dtype=jnp.float32
-        )
-        for i in range(num_inference_steps)
-    ]
+    latents = init_noise.astype(jnp.float32)
+    num_inference_steps = len(step_noises)
 
     sched = model.sampling_schedule(num_inference_steps)
     sigmas = np.asarray(sched.sigmas)
@@ -382,7 +367,7 @@ def pipelined_sample(
 
     for i in range(num_inference_steps):
         sigma = float(sigmas[i])
-        noisy = (1.0 - sigma) * latents + sigma * step_noises[i]
+        noisy = (1.0 - sigma) * latents + sigma * step_noises[i].astype(jnp.float32)
         packed = jnp.concatenate(
             [packed_cond, pack_latents(noisy.astype(model.dtype))], axis=1
         )
@@ -402,7 +387,43 @@ def pipelined_sample(
             pred[:, seq_cond:, :].astype(jnp.float32), latent_h, latent_w
         )
         latents = sched.step(pred_target, i, latents)
+    return latents
 
+
+def pipelined_sample(
+    model: Any,
+    pipe: PipelinedFluxTransformer,
+    stage_params: List[PyTree],
+    vae_params: PyTree,
+    gt: Array,
+    *,
+    num_inference_steps: int = 20,
+    key: jax.Array,
+    microbatch: int = 1,
+) -> Array:
+    """`FluxTextAlphaModel.sample` with the transformer pipelined.
+
+    The denoising loop runs on the host (a cross-stage pipeline cannot
+    live inside one jitted scan); everything else — noise derivation from
+    `key`, the per-step re-noising quirk, the FlowMatchEuler step, the
+    packing/slicing — mirrors `sample_latents_from_noise`
+    (models/flux_kontext_textalpha.py) exactly, and
+    tests/test_pipeline_parallel.py pins equality with the monolithic
+    `model.sample` for identical keys.
+    """
+    k_enc, k_init, k_loop = jax.random.split(key, 3)
+    cond_latent = model.encode_latents(vae_params, gt, k_enc)
+    init_noise = jax.random.normal(k_init, cond_latent.shape, dtype=jnp.float32)
+    step_noises = [
+        jax.random.normal(
+            jax.random.fold_in(k_loop, i), cond_latent.shape, dtype=jnp.float32
+        )
+        for i in range(num_inference_steps)
+    ]
+    latents = pipelined_sample_latents(
+        model, pipe, stage_params, cond_latent, init_noise, step_noises,
+        microbatch=microbatch,
+    )
     decoded = model.vae.decode(
         vae_params,
         (latents / model.scaling_factor + model.shift_factor).astype(model.dtype),

@@ -139,15 +139,25 @@ class InferenceServer:
         vae_params: PyTree,
         config: Optional[ServeConfig] = None,
         mesh: Any = None,
+        pipeline: Any = None,
     ) -> None:
         """`mesh`: optional Mesh with a "model" axis — the transformer params
         are sharded tensor-parallel (parallel/tensor_parallel.py) and the
         serving program is pinned to that layout; how full-scale FLUX.1
         serves on a pod. The model should be built with
         `attention_mesh=mesh` so the Pallas flash kernel shard_maps over
-        heads on TPU."""
+        heads on TPU.
+
+        `pipeline`: optional PipelinedFluxTransformer — the transformer
+        runs pipeline-parallel instead (per-stage devices, GPipe
+        microbatches, host-driven step loop; parallel/pipeline.py). The
+        noise derivation stays the jitted per-request draw, so
+        (image, seed) determinism is identical to the single-program
+        path. Mutually exclusive with `mesh`."""
         import jax
 
+        if mesh is not None and pipeline is not None:
+            raise ValueError("mesh (TP) and pipeline (PP) are mutually exclusive.")
         self.model = model
         self.vae_params = vae_params
         self.config = config or ServeConfig()
@@ -157,7 +167,14 @@ class InferenceServer:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._served = 0
-        if mesh is not None:
+        self._pipe = pipeline
+        if pipeline is not None:
+            self.t_params = t_params
+            self._stage_params = pipeline.place_params(t_params)
+            self._prep = jax.jit(self._build_prep())
+            self._decode = jax.jit(self._build_decode())
+            self._step = None
+        elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ragb_vae_tpu.parallel.tensor_parallel import (
@@ -176,6 +193,57 @@ class InferenceServer:
             self._step = jax.jit(self._build_step())
 
     # -- jitted core ---------------------------------------------------
+    def _build_prep(self):
+        """encode + per-request noise draw + cond (first half of the
+        single-program step; the PP transformer loop runs on the host)."""
+        import jax
+        import jax.numpy as jnp
+
+        model = self.model
+        steps = self.config.steps
+
+        def prep(vae_params, gt, seeds):
+            posterior = model.vae.encode(
+                vae_params, (gt * 2.0 - 1.0).astype(model.dtype)
+            )
+            lat_shape = posterior.mean.shape[1:]
+
+            def draw(seed):
+                key = jax.random.PRNGKey(seed)
+                k_enc, k_init, k_loop = jax.random.split(key, 3)
+                eps = jax.random.normal(k_enc, lat_shape, jnp.float32)
+                init = jax.random.normal(k_init, lat_shape, jnp.float32)
+                per_step = jax.vmap(
+                    lambda i: jax.random.normal(
+                        jax.random.fold_in(k_loop, i), lat_shape, jnp.float32
+                    )
+                )(jnp.arange(steps))
+                return eps, init, per_step
+
+            eps, init, per_step = jax.vmap(draw)(seeds)
+            latents = posterior.mean.astype(jnp.float32) + posterior.std.astype(
+                jnp.float32
+            ) * eps
+            cond = (latents - model.shift_factor) * model.scaling_factor
+            step_noises = jnp.moveaxis(per_step, 1, 0)  # (steps, B, h, w, C)
+            return cond, init, step_noises
+
+        return prep
+
+    def _build_decode(self):
+        import jax.numpy as jnp
+
+        model = self.model
+
+        def dec(vae_params, lat):
+            decoded = model.vae.decode(
+                vae_params,
+                (lat / model.scaling_factor + model.shift_factor).astype(model.dtype),
+            )
+            return jnp.clip((decoded.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+
+        return dec
+
     def _build_step(self):
         import jax
         import jax.numpy as jnp
@@ -274,9 +342,20 @@ class InferenceServer:
             )
             images = np.zeros((self.config.max_batch,) + bucket + (4,), np.float32)
             seeds = np.zeros((self.config.max_batch,), np.uint32)
-            self._step(
-                self.t_params, self.vae_params, jnp.asarray(images), jnp.asarray(seeds)
-            ).block_until_ready()
+            if self._pipe is not None:
+                from ragb_vae_tpu.parallel.pipeline import pipelined_sample_latents
+
+                cond, init, noises = self._prep(
+                    self.vae_params, jnp.asarray(images), jnp.asarray(seeds)
+                )
+                lat = pipelined_sample_latents(
+                    self.model, self._pipe, self._stage_params, cond, init, noises
+                )
+                self._decode(self.vae_params, lat).block_until_ready()
+            else:
+                self._step(
+                    self.t_params, self.vae_params, jnp.asarray(images), jnp.asarray(seeds)
+                ).block_until_ready()
 
     def start(self) -> "InferenceServer":
         if self._thread is None:
@@ -403,9 +482,21 @@ class InferenceServer:
         pad = self.config.max_batch - n
         images = np.stack([r.image for r in reqs] + [reqs[0].image] * pad)
         seeds = np.asarray([r.seed for r in reqs] + [0] * pad, dtype=np.uint32)
-        out = np.asarray(
-            self._step(self.t_params, self.vae_params, jnp.asarray(images), jnp.asarray(seeds))
-        )
+        if self._pipe is not None:
+            from ragb_vae_tpu.parallel.pipeline import pipelined_sample_latents
+
+            cond, init, step_noises = self._prep(
+                self.vae_params, jnp.asarray(images), jnp.asarray(seeds)
+            )
+            lat = pipelined_sample_latents(
+                self.model, self._pipe, self._stage_params, cond, init,
+                step_noises,
+            )
+            out = np.asarray(self._decode(self.vae_params, lat))
+        else:
+            out = np.asarray(
+                self._step(self.t_params, self.vae_params, jnp.asarray(images), jnp.asarray(seeds))
+            )
         for r, pred in zip(reqs, out[:n]):
             r.future.set_result(resize_rgba(pred, r.orig_size))
             self._served += 1

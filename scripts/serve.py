@@ -48,6 +48,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    "first N devices' 'model' mesh axis (Megatron pattern, "
                    "parallel/tensor_parallel.py). Full-scale FLUX.1 bf16 needs "
                    "tp>=2 on 16 GB chips (or --quant int8 on one).")
+    p.add_argument("--pp", type=int, default=1,
+                   help="Pipeline-parallel stages: the transformer's blocks split "
+                   "over the first N devices (parallel/pipeline.py); no per-block "
+                   "collectives — only the activation carrier crosses stage "
+                   "boundaries. Mutually exclusive with --tp.")
     p.add_argument("--quant", type=str, default="none", choices=["none", "int8"],
                    help="Weight-only int8 transformer serving: full-scale FLUX.1 "
                    "fits one 16 GB chip (scripts/quantize_flux_checkpoint.py).")
@@ -69,6 +74,8 @@ def build_server(args) -> "InferenceServer":
     from ragb_vae_tpu.serving import InferenceServer, ServeConfig
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    if args.tp > 1 and args.pp > 1:
+        raise SystemExit("--tp and --pp are mutually exclusive.")
     mesh = None
     if args.tp > 1:
         from jax.sharding import Mesh
@@ -104,7 +111,20 @@ def build_server(args) -> "InferenceServer":
     cfg = ServeConfig(
         max_batch=args.max_batch, max_delay_ms=args.max_delay_ms, steps=args.steps
     )
-    return InferenceServer(model, t_params, vae_params, cfg, mesh=mesh)
+    pipeline = None
+    if args.pp > 1:
+        from ragb_vae_tpu.parallel.pipeline import PipelinedFluxTransformer
+
+        devices = jax.devices()
+        if len(devices) < args.pp:
+            raise SystemExit(f"--pp {args.pp} needs {args.pp} devices, found {len(devices)}.")
+        pipeline = PipelinedFluxTransformer(
+            model.transformer_config, devices=devices[: args.pp], dtype=dtype,
+            weight_quant=args.quant,
+            lora_rank=args.rank if args.lora_path else 0,
+            lora_alpha=float(args.lora_alpha),
+        )
+    return InferenceServer(model, t_params, vae_params, cfg, mesh=mesh, pipeline=pipeline)
 
 
 def make_handler(server) -> type:

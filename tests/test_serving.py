@@ -229,3 +229,29 @@ def test_serving_tensor_parallel_matches(served_model):
         assert len(kern.sharding.device_set) == 8
         out = srv.submit(img, seed=11).result(timeout=300)
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_serving_pipeline_parallel_matches(served_model):
+    """InferenceServer(pipeline=...) — PP serving returns the same
+    prediction as the single-program server for the same (image, seed)."""
+    from ragb_vae_tpu.parallel.pipeline import PipelinedFluxTransformer
+
+    model, t_params, vae_params = served_model
+    img = np.random.default_rng(8).random((32, 32, 4)).astype(np.float32)
+    with InferenceServer(model, t_params, vae_params, _cfg()) as srv:
+        ref = srv.submit(img, seed=21).result(timeout=300)
+
+    pipe = PipelinedFluxTransformer(
+        model.transformer_config, devices=jax.devices()[:4]
+    )
+    with InferenceServer(model, t_params, vae_params, _cfg(), pipeline=pipe) as srv:
+        out = srv.submit(img, seed=21).result(timeout=300)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        from jax.sharding import Mesh
+
+        InferenceServer(
+            model, t_params, vae_params, _cfg(),
+            mesh=Mesh(np.array(jax.devices()), ("model",)), pipeline=pipe,
+        )
