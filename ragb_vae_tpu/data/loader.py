@@ -142,26 +142,49 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         sentinel = object()
         error_holder: List[BaseException] = []
+        stop = threading.Event()
 
         def producer():
             try:
                 for batch_indices in self._index_batches():
-                    q.put(self._fetch(batch_indices))
+                    item = self._fetch(batch_indices)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as exc:  # propagate into the consumer
                 error_holder.append(exc)
             finally:
-                q.put(sentinel)
+                try:
+                    q.put_nowait(sentinel)
+                except queue.Full:
+                    pass  # consumer is gone and draining; stop is set
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
-        if error_holder:
-            raise error_holder[0]
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+            if error_holder:
+                raise error_holder[0]
+        finally:
+            # An early exit (break / StopIteration / GeneratorExit) must not
+            # strand the producer blocked on q.put holding decoded batches
+            # for the rest of the process — signal it and drain until it dies.
+            stop.set()
+            while thread.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+                thread.join(timeout=0.05)
 
     def __len__(self) -> int:
         if self.batch_sampler is not None:

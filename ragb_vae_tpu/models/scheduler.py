@@ -45,10 +45,15 @@ def calc_mu(config: FlowMatchEulerConfig, seq_len: Optional[int]) -> Optional[fl
     shift over [base_seq, max_seq], seq_len clamped into that range."""
     if not config.use_dynamic_shifting:
         return None
-    base_seq = config.base_image_seq_len or 256
-    max_seq = config.max_image_seq_len or 4096
-    base_shift = config.base_shift or 0.5
-    max_shift = config.max_shift or 1.15
+    def _cfg(value, default):
+        # explicit None check: 0 / 0.0 are legitimate config values that a
+        # falsy `or` would silently replace with the default
+        return default if value is None else value
+
+    base_seq = _cfg(config.base_image_seq_len, 256)
+    max_seq = _cfg(config.max_image_seq_len, 4096)
+    base_shift = _cfg(config.base_shift, 0.5)
+    max_shift = _cfg(config.max_shift, 1.15)
     if seq_len is None:
         seq_len = base_seq
     seq_len = max(min(int(seq_len), max_seq), base_seq)

@@ -33,11 +33,23 @@ def accumulated_grads(
     batch: PyTree,
     key: jax.Array,
     num_micro: int,
+    micro_weight_fn: Callable[[PyTree], jax.Array] = None,
 ) -> Tuple[jax.Array, PyTree, PyTree]:
     """Mean loss/grads/aux over `num_micro` microbatches.
 
     `loss_fn(params, microbatch, key) -> (loss, aux)` with scalar loss and
     scalar-leaf aux. Returns (loss, aux, grads), all microbatch means.
+
+    `micro_weight_fn(microbatch) -> scalar` weights each microbatch's
+    contribution (e.g. its real-sample weight sum). Without it, every
+    microbatch gets equal weight — which deflates/biases the result when
+    per-sample weights differ across microbatches: a loss_fn computing a
+    weighted MEAN per microbatch (sum(w*l)/sum(w)) averaged uniformly is
+    NOT the global weighted mean once padding rows (w=0) concentrate in
+    one microbatch (an all-padding microbatch would contribute a spurious
+    zero term). With W_mb = sum(w) per microbatch, sum(W_mb * mean_mb) /
+    sum(W_mb) is exactly the unpadded global mean, restoring the
+    pad-invariance contract for grads as well as the loss.
     """
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     if num_micro <= 1:
@@ -48,13 +60,20 @@ def accumulated_grads(
     keys = jax.random.split(key, num_micro)
 
     def body(carry, xs):
-        acc_loss, acc_aux, acc_grads = carry
+        acc_loss, acc_aux, acc_grads, acc_w = carry
         mb, k = xs
         (loss, aux), grads = grad_fn(params, mb, k)
+        w = (
+            micro_weight_fn(mb).astype(jnp.float32)
+            if micro_weight_fn is not None
+            else jnp.float32(1.0)
+        )
+        wmul = lambda t: jax.tree_util.tree_map(lambda x: x * w.astype(x.dtype), t)
         acc = (
-            acc_loss + loss,
-            jax.tree_util.tree_map(jnp.add, acc_aux, aux),
-            jax.tree_util.tree_map(jnp.add, acc_grads, grads),
+            acc_loss + w * loss,
+            jax.tree_util.tree_map(jnp.add, acc_aux, wmul(aux)),
+            jax.tree_util.tree_map(jnp.add, acc_grads, wmul(grads)),
+            acc_w + w,
         )
         return acc, None
 
@@ -69,9 +88,9 @@ def accumulated_grads(
     zeros = lambda tree: jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), tree
     )
-    init = (zeros(loss_sh), zeros(aux_sh), zeros(grads_sh))
-    (loss, aux, grads), _ = jax.lax.scan(body, init, (micro, keys))
+    init = (zeros(loss_sh), zeros(aux_sh), zeros(grads_sh), jnp.float32(0.0))
+    (loss, aux, grads, total_w), _ = jax.lax.scan(body, init, (micro, keys))
 
-    inv = 1.0 / num_micro
-    scale = lambda t: jax.tree_util.tree_map(lambda x: x * inv, t)
+    inv = 1.0 / jnp.maximum(total_w, 1e-8)
+    scale = lambda t: jax.tree_util.tree_map(lambda x: x * inv.astype(x.dtype), t)
     return loss * inv, scale(aux), scale(grads)

@@ -112,27 +112,36 @@ def make_zero2_train_step(
             params, batch, local_key
         )
 
+        # Per-device weighting: loss_fn reduces its LOCAL shard with a
+        # weighted mean, and uniformly averaging those means across devices
+        # (psum/n) deflates and biases the gradient whenever per-device
+        # real-sample weights differ — a device holding only padding rows
+        # (w=0) would contribute a spurious zero term. Weighting each
+        # device's mean by its local weight sum and dividing by the GLOBAL
+        # weight sum reproduces the unpadded global mean exactly, matching
+        # the GSPMD path's numerics.
+        if isinstance(batch, dict) and "weights" in batch:
+            w_local = jnp.sum(batch["weights"]).astype(jnp.float32)
+        else:
+            w_local = jnp.float32(1.0)
+        w_global = jnp.maximum(lax.psum(w_local, DATA_AXIS), 1e-8)
+
         # 2. reduce-scatter: flatten each leaf, every chip keeps slice #rank
         def scatter(g):
-            flat = _flatten_pad(g.astype(jnp.float32), n)
-            return lax.psum_scatter(flat, DATA_AXIS, tiled=True) / n
+            flat = _flatten_pad(g.astype(jnp.float32) * w_local, n)
+            return lax.psum_scatter(flat, DATA_AXIS, tiled=True) / w_global
 
         grad_shards = jax.tree_util.tree_map(scatter, grads)
 
         # 3. clip by GLOBAL grad norm (sumsq of the scattered shards psum'd
         # across chips is exactly the full-gradient norm — shards partition it)
+        local_sq = sum(
+            jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grad_shards)
+        )
+        gnorm = jnp.sqrt(lax.psum(local_sq, DATA_AXIS))
         if max_grad_norm is not None:
-            local_sq = sum(
-                jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grad_shards)
-            )
-            gnorm = jnp.sqrt(lax.psum(local_sq, DATA_AXIS))
             scale = jnp.minimum(1.0, max_grad_norm / jnp.maximum(gnorm, 1e-12))
             grad_shards = jax.tree_util.tree_map(lambda g: g * scale, grad_shards)
-        else:
-            local_sq = sum(
-                jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grad_shards)
-            )
-            gnorm = jnp.sqrt(lax.psum(local_sq, DATA_AXIS))
 
         # 4. the optimizer sees only the local (1/n) param/grad slice
         def local_slice(p):
@@ -160,16 +169,17 @@ def make_zero2_train_step(
         )
 
         metrics = dict(metrics)
-        metrics["train/loss"] = lax.pmean(loss, DATA_AXIS)
-        metrics["train/grad_norm"] = gnorm
-        # out_spec declares metrics replicated (P()): pmean EVERY array
-        # leaf, not just scalars — a device-local non-scalar metric under
-        # check_vma=False would otherwise silently ship one device's values
-        # as if they were the global reduction.
+        metrics["train/loss"] = loss
+        # out_spec declares metrics replicated (P()): reduce EVERY array
+        # leaf with the same weighted mean as the gradient — a device-local
+        # leaf under check_vma=False would otherwise silently ship one
+        # device's values as if they were the global reduction.
         metrics = jax.tree_util.tree_map(
-            lambda m: lax.pmean(m, DATA_AXIS) if hasattr(m, "ndim") else m,
+            lambda m: lax.psum(m * w_local.astype(m.dtype), DATA_AXIS) / w_global
+            if hasattr(m, "ndim") else m,
             metrics,
         )
+        metrics["train/grad_norm"] = gnorm
         return new_params, new_opt, metrics
 
     rep = P()

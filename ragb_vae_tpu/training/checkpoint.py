@@ -76,12 +76,34 @@ def load_train_checkpoint(
     return config, params, opt_state, meta
 
 
+def _step_number(path: Path) -> int:
+    """Numeric step from a step_* dir name (lexical sort mis-orders once
+    the step outgrows the zero-pad width)."""
+    try:
+        return int(path.name.split("_", 1)[1])
+    except (IndexError, ValueError):
+        return -1
+
+
+def is_complete_checkpoint(path: Path) -> bool:
+    """META_FILE is written LAST by save_train_checkpoint, so its presence
+    marks a committed checkpoint; a dir without it is a partial write
+    (crash mid-save) and must not be auto-resumed from."""
+    return (path / META_FILE).exists()
+
+
 def latest_checkpoint(base: Union[str, Path]) -> Optional[Path]:
-    """Most recent `step_*` dir under `base` (for auto-resume)."""
+    """Most recent COMPLETE `step_*` dir under `base` (for auto-resume)."""
     base = Path(base)
     if not base.exists():
         return None
-    candidates = sorted(p for p in base.iterdir() if p.is_dir() and p.name.startswith("step_"))
+    candidates = sorted(
+        (
+            p for p in base.iterdir()
+            if p.is_dir() and p.name.startswith("step_") and is_complete_checkpoint(p)
+        ),
+        key=_step_number,
+    )
     return candidates[-1] if candidates else None
 
 
@@ -96,7 +118,12 @@ def prune_checkpoints(base: Union[str, Path], keep_last: int) -> int:
     base = Path(base)
     if keep_last <= 0 or not base.exists():
         return 0
-    candidates = sorted(p for p in base.iterdir() if p.is_dir() and p.name.startswith("step_"))
+    # numeric order; partial (meta-less) dirs sort oldest so they are the
+    # first pruned and never displace a complete checkpoint from the keep set
+    candidates = sorted(
+        (p for p in base.iterdir() if p.is_dir() and p.name.startswith("step_")),
+        key=lambda p: (is_complete_checkpoint(p), _step_number(p)),
+    )
     removed = 0
     for stale in candidates[:-keep_last] if keep_last < len(candidates) else []:
         shutil.rmtree(stale)

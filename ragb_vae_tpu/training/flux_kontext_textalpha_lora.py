@@ -226,7 +226,13 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
     from ragb_vae_tpu.parallel import accumulated_grads
 
     def step_fn(lora, opt_state, batch, key):
-        loss, stats, grads = accumulated_grads(loss_fn, lora, batch, key, n_micro)
+        loss, stats, grads = accumulated_grads(
+            loss_fn, lora, batch, key, n_micro,
+            micro_weight_fn=(
+                (lambda mb: jnp.sum(mb["weights"]))
+                if "weights" in batch else None
+            ),
+        )
         updates, opt_state = tx.update(grads, opt_state, lora)
         lora = optax.apply_updates(lora, updates)
         return lora, opt_state, loss, stats

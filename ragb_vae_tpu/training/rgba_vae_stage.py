@@ -651,7 +651,17 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
             lpips_fn=lpips_fn,
             opt_state_example=jax.eval_shape(tx.init, params),
         )
-    eval_step = make_eval_step(eval_model, mesh=mesh) if val_loader is not None else None
+    eval_step = (
+        make_eval_step(
+            eval_model,
+            mesh=mesh,
+            background_specs=list(
+                train_cfg.get("val_background_colors", ["white", "black"])
+            ),
+        )
+        if val_loader is not None
+        else None
+    )
 
     global_step = 0
     start_step = 0
@@ -720,14 +730,38 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
 
     metrics_logger = MetricsLogger(train_cfg.get("metrics_dir", train_cfg.get("ckpt_dir")))
 
+    # Resume places the run INSIDE the schedule, not at its start: derive
+    # the epoch and intra-epoch position from the restored step (otherwise a
+    # resumed run re-trains the full epoch count on replayed data), and fold
+    # the restored step into the key so the noise stream continues rather
+    # than replaying the crashed run's draws.
+    start_epoch = 0
+    skip_batches = 0
+    if start_step > 0:
+        key = jax.random.fold_in(key, start_step)
+        try:
+            steps_per_epoch = len(train_loader)
+        except TypeError:
+            steps_per_epoch = 0
+        if steps_per_epoch > 0:
+            start_epoch = min(start_step // steps_per_epoch, max(epochs - 1, 0))
+            skip_batches = start_step - start_epoch * steps_per_epoch
+            print(
+                f"[RGBA-VAE] resume position: epoch {start_epoch}, "
+                f"skipping {skip_batches} batches"
+            )
+
     try:
       with trace_context(
           train_cfg.get("profile_dir", "outputs/trace"),
           enabled=bool(train_cfg.get("profile", False)),
       ):
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             train_loader.set_epoch(epoch)
             for batch in train_loader:
+                if epoch == start_epoch and skip_batches > 0:
+                    skip_batches -= 1
+                    continue
                 inputs = build_training_batch(
                     batch,
                     background_sample_prob=background_sample_prob,
@@ -749,7 +783,7 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
                     )
                 global_step += 1
                 images_seen += n_real
-                pending.append(metrics)
+                pending = [metrics]  # only the newest is ever materialized
 
                 if nan_check_every > 0 and global_step % nan_check_every == 0:
                     last_metrics = materialize(global_step, epoch)

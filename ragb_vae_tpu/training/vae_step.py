@@ -174,6 +174,11 @@ def make_train_step(
             batch,
             key,
             step_cfg.gradient_accumulation_steps,
+            # weight each microbatch by its real-sample weight sum so
+            # padding stays exactly invariant across the accumulation split
+            micro_weight_fn=(
+                (lambda mb: jnp.sum(mb["weights"])) if "weights" in batch else None
+            ),
         )
         metrics["train/grad_norm"] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, params)

@@ -124,3 +124,43 @@ def test_accumulated_grads_matches_full_batch():
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l4), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g4), rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(a1["loss"]), np.asarray(a4["loss"]), rtol=1e-6)
+
+
+def test_accumulated_grads_pad_invariance():
+    """Weighted microbatch accumulation: pads concentrated in one
+    microbatch (including an ALL-pad microbatch) must not deflate or bias
+    the loss/grads vs the unpadded weighted mean."""
+    import jax
+    import jax.numpy as jnp
+
+    from ragb_vae_tpu.parallel.grad_accum import accumulated_grads
+
+    params = jnp.asarray([0.5, -1.5, 2.0])
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 3)), jnp.float32)
+    w = jnp.asarray([1, 1, 1, 0, 0, 0, 0, 0], jnp.float32)  # 3 real + 5 pads
+
+    def loss_fn(p, batch, key):
+        per = jnp.sum(batch["x"] * p, axis=-1) ** 2
+        bw = batch["weights"]
+        loss = jnp.sum(bw * per) / jnp.maximum(jnp.sum(bw), 1e-8)
+        return loss, {"train/loss": loss}
+
+    # ground truth: weighted mean over the 3 real samples only
+    ref_loss, ref_grads = jax.value_and_grad(
+        lambda p: jnp.mean(jnp.sum(x[:3] * p, axis=-1) ** 2)
+    )(params)
+
+    loss, aux, grads = accumulated_grads(
+        loss_fn, params, {"x": x, "weights": w}, jax.random.PRNGKey(0), 2,
+        micro_weight_fn=lambda mb: jnp.sum(mb["weights"]),
+    )
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(grads), np.asarray(ref_grads), rtol=1e-6)
+    np.testing.assert_allclose(float(aux["train/loss"]), float(ref_loss), rtol=1e-6)
+
+    # without the weighting, the all-pad second microbatch halves the loss
+    # (the bug this guards against)
+    biased_loss, _, _ = accumulated_grads(
+        loss_fn, params, {"x": x, "weights": w}, jax.random.PRNGKey(0), 2
+    )
+    assert abs(float(biased_loss) - float(ref_loss) / 2) < 1e-5

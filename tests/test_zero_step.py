@@ -92,3 +92,53 @@ def test_zero2_state_is_sharded_and_steps_compose():
     p, o, m1 = step(params, opt_state, batch, jax.random.PRNGKey(0))
     p, o, m2 = step(p, o, batch, jax.random.PRNGKey(1))
     assert float(m2["train/loss"]) < float(m1["train/loss"])
+
+
+def test_zero2_step_pad_invariance():
+    """Devices holding only padding rows (w=0) must not deflate the
+    global weighted mean — the shard_map step must match the unpadded
+    result exactly (VERDICT: 'numerics are exactly the replicated step's')."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ragb_vae_tpu.parallel import (
+        batch_sharding,
+        create_mesh,
+        init_zero2_state,
+        make_zero2_train_step,
+    )
+
+    mesh = create_mesh()
+    n = mesh.devices.size
+    params = {"w": jnp.asarray(np.random.default_rng(0).standard_normal(4), jnp.float32)}
+    x = np.random.default_rng(1).standard_normal((n, 4)).astype(np.float32)
+    weights = np.zeros((n,), np.float32)
+    weights[:3] = 1.0  # devices 3..n-1 hold ONLY padding
+
+    def loss_fn(p, batch, key):
+        per = jnp.sum(batch["x"] * p["w"], axis=-1) ** 2
+        bw = batch["weights"]
+        loss = jnp.sum(bw * per) / jnp.maximum(jnp.sum(bw), 1e-8)
+        return loss, {"train/loss": loss}
+
+    tx = optax.sgd(0.0)  # lr 0: isolate the reductions
+    opt_state = init_zero2_state(params, tx, mesh)
+    step = make_zero2_train_step(loss_fn, tx, mesh, max_grad_norm=None, donate=False)
+    batch = {
+        "x": jax.device_put(x, batch_sharding(mesh)),
+        "weights": jax.device_put(weights, batch_sharding(mesh)),
+    }
+    _, _, metrics = step(params, opt_state, batch, jax.random.PRNGKey(2))
+
+    ref_loss, ref_grads = jax.value_and_grad(
+        lambda p: jnp.mean(jnp.sum(jnp.asarray(x[:3]) * p, axis=-1) ** 2)
+    )(params["w"])
+    np.testing.assert_allclose(
+        float(metrics["train/loss"]), float(ref_loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics["train/grad_norm"]),
+        float(jnp.linalg.norm(ref_grads)),
+        rtol=1e-5,
+    )
