@@ -178,7 +178,7 @@ def test_inference_cli(pretrained_dir, tmp_path):
         capture_output=True,
         text=True,
         env={**os.environ, **env},
-        timeout=600,
+        timeout=1200,  # generous: 1-core box, often shared with background jobs
     )
     assert result.returncode == 0, result.stderr[-2000:]
     assert out.exists()
@@ -245,7 +245,7 @@ def test_inference_cli_batch_mode(pretrained_dir, tmp_path):
         capture_output=True,
         text=True,
         env={**os.environ, **env},
-        timeout=600,
+        timeout=1200,  # generous: 1-core box, often shared with background jobs
     )
     assert result.returncode == 0, result.stderr[-2000:]
     outs = sorted(p.name for p in out_dir.glob("*.png"))
