@@ -346,11 +346,18 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
         key, sub = jax.random.split(key)
         run_validation("start", sub)
 
+    from ragb_vae_tpu.utils.preemption import PreemptionGuard, preemption_enabled
+
     last_loss = float("nan")
     loss = None
+    preempted = False
     t0 = time.time()
     epoch = 0
-    while total_steps < args.max_train_steps:
+    guard = PreemptionGuard(
+        enabled=preemption_enabled({"handle_preemption": getattr(args, "handle_preemption", True)})
+    )
+    with guard:
+      while total_steps < args.max_train_steps and not preempted:
         train_dl.set_epoch(epoch)
         for batch in train_dl:
             n_real = np.asarray(batch["gt"]).shape[0]
@@ -386,15 +393,30 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
             if args.val_every and total_steps % args.val_every == 0 and total_steps > 0:
                 key, sub = jax.random.split(key)
                 run_validation(str(total_steps), sub)
+            if guard.should_stop(sync=True):
+                # Preemption: persist a resumable checkpoint-{N} (adapters +
+                # opt state + RNG) and exit; `resume_from: auto` picks it up.
+                preempted = True
+                print(
+                    f"[LoRA] preempted at step {total_steps} "
+                    f"({guard.describe()}) — checkpointing and exiting",
+                    flush=True,
+                )
+                save_lora(total_steps, f"checkpoint-{total_steps}")
+                break
             if total_steps >= args.max_train_steps:
                 break
         epoch += 1
 
-    save_lora(args.max_train_steps, "final")
-    print("Done.")
+    if not preempted:
+        save_lora(args.max_train_steps, "final")
+    print("Done." if not preempted else "Preempted.")
     if not np.isfinite(last_loss) and loss is not None:
         last_loss = float(np.asarray(loss))
-    return {"train/loss": last_loss, "global_step": float(total_steps)}
+    out = {"train/loss": last_loss, "global_step": float(total_steps)}
+    if preempted:
+        out["preempted"] = 1.0
+    return out
 
 
 def build_args_from_cfg(cfg: Dict[str, Any]) -> argparse.Namespace:
@@ -454,6 +476,7 @@ def build_args_from_cfg(cfg: Dict[str, Any]) -> argparse.Namespace:
         ("resume_from", "resume_from", str),
         ("shard_base_params", "shard_base_params", bool),
         ("weight_quant", "weight_quant", str),
+        ("handle_preemption", "handle_preemption", bool),
         ("seed", "seed", int),
     ):
         if train_cfg.get(src) is not None:

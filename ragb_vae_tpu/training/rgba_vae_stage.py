@@ -751,8 +751,12 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
                 f"skipping {skip_batches} batches"
             )
 
+    from ragb_vae_tpu.utils.preemption import PreemptionGuard, preemption_enabled
+
+    preempted = False
     try:
-      with trace_context(
+      with PreemptionGuard(enabled=preemption_enabled(train_cfg)) as guard, \
+          trace_context(
           train_cfg.get("profile_dir", "outputs/trace"),
           enabled=bool(train_cfg.get("profile", False)),
       ):
@@ -826,6 +830,18 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
                         opt_state=opt_state, writer=ckpt_writer,
                     )
 
+                if guard.should_stop(sync=True):
+                    # Preemption (SIGTERM): leave the loop NOW; the tail
+                    # below writes a committed checkpoint at this step and
+                    # `resume_from: auto` continues the run from it.
+                    preempted = True
+                    print(
+                        f"[RGBA-VAE] preempted at step {global_step} "
+                        f"({guard.describe()}) — checkpointing and exiting",
+                        flush=True,
+                    )
+                    raise StopIteration
+
                 if max_steps is not None and global_step - start_step >= int(max_steps):
                     raise StopIteration
     except StopIteration:
@@ -833,7 +849,12 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
 
     last_metrics = materialize(global_step, epochs - 1) or last_metrics
 
-    if train_cfg.get("run_validation", True) and val_loader is not None and not performed_validation:
+    if (
+        train_cfg.get("run_validation", True)
+        and val_loader is not None
+        and not performed_validation
+        and not preempted  # grace window goes to the checkpoint, not eval
+    ):
         key, sub = jax.random.split(key)
         last_metrics.update(
             evaluate_rgba_vae(
@@ -853,4 +874,6 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
         ckpt_writer.wait()  # drain any in-flight periodic save first
     save_checkpoints(model, params, cfg, step=global_step, opt_state=opt_state)
     last_metrics["global_step"] = float(global_step)
+    if preempted:
+        last_metrics["preempted"] = 1.0
     return last_metrics
