@@ -47,12 +47,21 @@ def parse_args(argv=None) -> argparse.Namespace:
                    "over the first N devices (parallel/pipeline.py) — full-scale "
                    "FLUX.1 bf16 across small-HBM chips with no per-block "
                    "collectives. Composes with --quant int8.")
+    p.add_argument("--compilation_cache", type=str, default="auto",
+                   help="Persistent XLA compilation cache: 'auto' (default, "
+                   "~/.cache/ragb_vae_tpu/xla_cache), 'off', or a directory. "
+                   "Full-scale sampler compiles are minutes-long on TPU; with "
+                   "the cache they are paid once per machine, not per process.")
     return p.parse_args(argv)
 
 
 def run(args: argparse.Namespace) -> None:
     import jax
     import jax.numpy as jnp
+
+    from ragb_vae_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache(getattr(args, "compilation_cache", "auto"))
 
     from ragb_vae_tpu.data.image_io import load_rgba, save_rgba
     from ragb_vae_tpu.models.flux_kontext_textalpha import (

@@ -60,12 +60,21 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="Comma-separated HxW sizes to pre-compile at startup "
                    "(e.g. '512x512,1024x1024'); cold compiles are minutes-long "
                    "on TPU and should not land on the first request.")
+    p.add_argument("--compilation-cache", type=str, default="auto",
+                   help="Persistent XLA compilation cache: 'auto' (default, "
+                   "~/.cache/ragb_vae_tpu/xla_cache), 'off', or a directory. "
+                   "Makes daemon restarts skip the minutes-long warmup "
+                   "compiles (disk hits instead of recompiles).")
     return p.parse_args(argv)
 
 
 def build_server(args) -> "InferenceServer":
     import jax
     import jax.numpy as jnp
+
+    from ragb_vae_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache(getattr(args, "compilation_cache", "auto"))
 
     from ragb_vae_tpu.models.flux_kontext_textalpha import (
         FluxTextAlphaModel,

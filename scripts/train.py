@@ -28,11 +28,16 @@ def main() -> None:
     args = parser.parse_args()
 
     from ragb_vae_tpu.parallel.mesh import maybe_init_distributed
+    from ragb_vae_tpu.utils.compilation_cache import enable_compilation_cache
 
     maybe_init_distributed()
     cfg = load_config(args.config)
     if args.stage:
         cfg.setdefault("training", {})["stage"] = args.stage
+    # persistent XLA compile cache: restarted/preempted runs skip straight
+    # past the minutes-long train-step compile (training.compilation_cache:
+    # auto|off|<dir>, default auto)
+    enable_compilation_cache(cfg.get("training", {}).get("compilation_cache", "auto"))
     run_stage(cfg)
 
 
