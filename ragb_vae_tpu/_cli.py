@@ -27,3 +27,9 @@ def infer_main() -> None:
     from ragb_vae_tpu.inference import main
 
     main()
+
+
+def serve_main() -> None:
+    from ragb_vae_tpu.serving_daemon import main
+
+    main()
