@@ -99,6 +99,7 @@ def train_step_mode(
     slicing: bool = True,
     tile: int = 0,
     fused: bool = False,
+    offload: bool = False,
 ) -> None:
     """Training-step throughput: the full jitted RGBA-VAE step (triplet
     encode -> posterior split/sample -> decode -> AlphaVAE loss + LPIPS
@@ -159,13 +160,28 @@ def train_step_mode(
         compute_dtype=jnp.bfloat16,
     )
     loss_cfg = AlphaVaeLossConfig(reduce_mean=True)
-    opt_state = tx.init(params)
-    # donate params/opt_state (threaded through like the real loop) — on a
-    # 16 GB chip the in-place update buys back a full fp32 params+moments
-    # copy (~1 GB at Flux-VAE scale)
-    train_step = make_train_step(
-        model, tx, loss_cfg, step_cfg, lpips_fn=lpips_fn, donate=True
-    )
+    if offload:
+        # optimizer_offload: moments in pinned host memory between steps
+        # (~664 MB of persistent HBM back at Flux-VAE fp32 scale); needs a
+        # mesh — a 1-device Mesh on the bench chip
+        from ragb_vae_tpu.parallel import create_mesh
+        from ragb_vae_tpu.training.vae_step import init_train_state
+
+        mesh = create_mesh()
+        opt_state = init_train_state(model, params, tx, mesh=mesh, offload=True)
+        train_step = make_train_step(
+            model, tx, loss_cfg, step_cfg, mesh=mesh, lpips_fn=lpips_fn,
+            opt_state_example=jax.eval_shape(tx.init, params),
+            offload_opt_state=True, donate=True,
+        )
+    else:
+        opt_state = tx.init(params)
+        # donate params/opt_state (threaded through like the real loop) — on a
+        # 16 GB chip the in-place update buys back a full fp32 params+moments
+        # copy (~1 GB at Flux-VAE scale)
+        train_step = make_train_step(
+            model, tx, loss_cfg, step_cfg, lpips_fn=lpips_fn, donate=True
+        )
 
     height, width = (size, size) if isinstance(size, int) else size
     x = jnp.asarray(
@@ -236,6 +252,9 @@ def main() -> None:
     parser.add_argument("--train-xla", dest="train_fused", action="store_false",
                         help="train_step mode: plain XLA step (the pre-round-3 "
                         "default) for A/B comparison")
+    parser.add_argument("--optimizer-offload", action="store_true",
+                        help="train_step mode: AdamW moments in pinned host "
+                        "memory between steps (training.optimizer_offload)")
     parser.add_argument(
         "--no-fused",
         action="store_true",
@@ -255,6 +274,7 @@ def main() -> None:
             args.batches[0], args.iters, lpips=not args.no_lpips,
             grad_accum=args.grad_accum, slicing=not args.no_slicing,
             tile=args.tile, fused=args.train_fused, lpips_fp32=args.lpips_fp32,
+            offload=args.optimizer_offload,
         )
         return
 

@@ -20,3 +20,10 @@ timeout 3600 python benchmarks/sample_bench.py --blocks full --quant int8 --batc
 # 4. Regression check of the round-2/3 headline + training metrics
 timeout 1800 python bench.py
 timeout 1800 python bench.py --metric train_step
+
+# 5. Optimizer-state host offload (training.optimizer_offload):
+#    (a) overhead at the 512^2 b4 accum-2 operating point,
+#    (b) does 1024^2 microbatch-2 now fit (OOM'd without offload —
+#        results.md "Training envelope")?
+timeout 1800 python bench.py --metric train_step --size 512 --batches 4 --grad-accum 2 --optimizer-offload
+timeout 1800 python bench.py --metric train_step --size 1024 --batches 2 --optimizer-offload

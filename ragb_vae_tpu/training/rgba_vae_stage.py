@@ -618,6 +618,11 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
                 "zero_impl: shard_map does not implement gradient accumulation;"
                 " use the default gspmd implementation."
             )
+        if train_cfg.get("optimizer_offload"):
+            raise ValueError(
+                "optimizer_offload is implemented for the default gspmd step;"
+                " drop zero_impl: shard_map to combine it with ZeRO sharding."
+            )
         z_tx = zero2_optimizer(lr, betas=(0.5, 0.9))
         loss_for_zero = _partial(
             vae_loss_fn,
@@ -640,7 +645,14 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
             max_grad_norm=float(max_grad_norm) if max_grad_norm is not None else None,
         )
     else:
-        opt_state = init_train_state(model, params, tx, mesh=mesh)
+        # optimizer_offload: AdamW moments live in pinned host memory
+        # between steps (ZeRO-Offload; the reference's DeepSpeed knob is
+        # offload_optimizer.device, configs/deepspeed_zero2.json:5-7) —
+        # frees 2x param bytes of persistent HBM for activations.
+        optimizer_offload = bool(train_cfg.get("optimizer_offload", False))
+        opt_state = init_train_state(
+            model, params, tx, mesh=mesh, offload=optimizer_offload
+        )
         train_step = make_train_step(
             model,
             tx,
@@ -650,6 +662,7 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
             ref_params=ref_params,
             lpips_fn=lpips_fn,
             opt_state_example=jax.eval_shape(tx.init, params),
+            offload_opt_state=optimizer_offload,
         )
     eval_step = (
         make_eval_step(

@@ -140,6 +140,23 @@ def vae_loss_fn(
     return total, metrics
 
 
+def host_offload_shardings(shardings: PyTree, example: PyTree) -> PyTree:
+    """`memory_kind="pinned_host"` variant of a NamedSharding pytree.
+
+    Scalar leaves (optax step counts) stay in device memory — transferring
+    a 4-byte counter buys nothing and some backends reject host scalars in
+    compiled programs.
+    """
+    from jax.sharding import NamedSharding
+
+    def f(s, ex):
+        if getattr(ex, "ndim", 0) >= 1:
+            return NamedSharding(s.mesh, s.spec, memory_kind="pinned_host")
+        return s
+
+    return jax.tree_util.tree_map(f, shardings, example)
+
+
 def make_train_step(
     model: RgbaVAE,
     tx: optax.GradientTransformation,
@@ -151,12 +168,22 @@ def make_train_step(
     lpips_fn: Optional[Callable[[Array, Array], Array]] = None,
     opt_state_example: Optional[PyTree] = None,
     donate: bool = True,
+    offload_opt_state: bool = False,
 ):
     """Build the compiled train step.
 
     Returns `step(params, opt_state, batch, key) -> (params, opt_state, metrics)`.
     With a mesh: batch comes in sharded on the data axis, params/metrics are
     replicated, and opt_state keeps a ZeRO-style layout across steps.
+
+    `offload_opt_state=True` parks the AdamW moments in host memory between
+    steps (the ZeRO-Offload move — the reference's DeepSpeed config exposes
+    it as `offload_optimizer.device` in configs/deepspeed_zero2.json:5-7,
+    set to "none" there): persistent HBM drops by 2x the param bytes, the
+    update pays a host round-trip per step. On TPU the jit binds the host
+    buffers directly (XLA schedules the DMAs inside the step); elsewhere
+    the executable cannot address host memory, so transfers happen at the
+    python boundary — same numerics, same layout, CI-testable.
     """
     loss = partial(
         vae_loss_fn,
@@ -186,6 +213,8 @@ def make_train_step(
         return params, opt_state, metrics
 
     if mesh is None:
+        if offload_opt_state:
+            raise ValueError("offload_opt_state requires a mesh")
         return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
     rep = replicated(mesh)
@@ -193,12 +222,41 @@ def make_train_step(
     opt_shardings = (
         zero_sharding(opt_state_example, mesh) if opt_state_example is not None else rep
     )
-    return jax.jit(
+    if not offload_opt_state:
+        return jax.jit(
+            step,
+            in_shardings=(rep, opt_shardings, bsh, rep),
+            out_shardings=(rep, opt_shardings, rep),
+            donate_argnums=(0, 1) if donate else (),
+        )
+
+    if opt_state_example is None:
+        raise ValueError("offload_opt_state requires opt_state_example")
+    host_shardings = host_offload_shardings(opt_shardings, opt_state_example)
+    if jax.default_backend() == "tpu":
+        return jax.jit(
+            step,
+            in_shardings=(rep, host_shardings, bsh, rep),
+            out_shardings=(rep, host_shardings, rep),
+            donate_argnums=(0, 1) if donate else (),
+        )
+    # Portable fallback (CPU mesh in tests): compiled programs cannot bind
+    # pinned_host buffers off-TPU (annotate_device_placement unimplemented),
+    # so the H2D/D2H hop happens at the python boundary instead of inside
+    # the executable. Bit-identical math either way.
+    inner = jax.jit(
         step,
         in_shardings=(rep, opt_shardings, bsh, rep),
         out_shardings=(rep, opt_shardings, rep),
         donate_argnums=(0, 1) if donate else (),
     )
+
+    def offloaded_step(params, opt_state, batch, key):
+        opt_dev = jax.device_put(opt_state, opt_shardings)
+        params, opt_dev, metrics = inner(params, opt_dev, batch, key)
+        return params, jax.device_put(opt_dev, host_shardings), metrics
+
+    return offloaded_step
 
 
 def make_eval_step(
@@ -247,10 +305,21 @@ def init_train_state(
     tx: optax.GradientTransformation,
     *,
     mesh: Optional[Mesh] = None,
+    offload: bool = False,
 ) -> PyTree:
-    """Initialize (and on a mesh, ZeRO-shard) the optimizer state."""
+    """Initialize (and on a mesh, ZeRO-shard) the optimizer state.
+
+    `offload=True` parks the state in pinned host memory (see
+    make_train_step(offload_opt_state=...)); resume keeps the layout
+    because the stage re-puts loaded state onto the live shardings.
+    """
     if mesh is None:
+        if offload:
+            raise ValueError("offload requires a mesh")
         return tx.init(params)
     shapes = jax.eval_shape(tx.init, params)
     shardings = zero_sharding(shapes, mesh)
-    return jax.jit(tx.init, out_shardings=shardings)(params)
+    state = jax.jit(tx.init, out_shardings=shardings)(params)
+    if offload:
+        state = jax.device_put(state, host_offload_shardings(shardings, shapes))
+    return state
