@@ -165,6 +165,7 @@ class InferenceServer:
         self._queues_lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = threading.Event()
+        self._draining = False
         self._thread: Optional[threading.Thread] = None
         self._served = 0
         self._pipe = pipeline
@@ -291,6 +292,8 @@ class InferenceServer:
         """Enqueue one RGBA image; returns a Future of the prediction."""
         if self._stop.is_set():
             raise RuntimeError("InferenceServer is stopped.")
+        if self._draining:
+            raise RuntimeError("InferenceServer is draining (shutting down).")
         # copy: np.asarray would alias a caller-owned float32 buffer, and a
         # caller mutating it while the request is queued would corrupt the batch
         image = np.array(image, dtype=np.float32, copy=True)
@@ -371,6 +374,28 @@ class InferenceServer:
         if self._thread is not None:
             self._thread.join(timeout=30.0)
             self._thread = None
+
+    def drain(self, timeout: Optional[float] = None) -> bool:
+        """Graceful shutdown: refuse new requests, finish queued ones, stop.
+
+        Returns True when the queues emptied within `timeout` (None = wait
+        for `request_timeout_s` + one batch); False when stop() fired with
+        work still queued (those futures fail with "Server stopped.").
+        Pairs with the training stages' preemption handling: on SIGTERM
+        the daemon answers everything already accepted, then exits.
+        """
+        self._draining = True
+        if timeout is None:
+            timeout = self.config.request_timeout_s + 60.0
+        deadline = time.monotonic() + timeout
+        clean = False
+        while time.monotonic() < deadline:
+            if self.stats["pending"] == 0:
+                clean = True
+                break
+            time.sleep(0.05)
+        self.stop()
+        return clean
 
     def __enter__(self) -> "InferenceServer":
         return self.start()

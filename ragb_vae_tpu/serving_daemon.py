@@ -201,12 +201,30 @@ def main(argv=None) -> None:
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
     print(f"[serve] listening on http://{args.host}:{args.port} "
           f"(max_batch={args.max_batch}, steps={args.steps})", flush=True)
+
+    # SIGTERM (preemption / orchestrator shutdown): stop accepting, answer
+    # everything already queued, exit 0 — mirrors the training stages'
+    # preemption handling (utils/preemption.py). httpd.shutdown() must run
+    # off the serve_forever thread, and a signal handler must not block.
+    import signal
+    import threading
+
+    def _on_sigterm(signum, frame):
+        print("[serve] SIGTERM — draining and shutting down", flush=True)
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # not the main thread (embedded use)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
-        server.stop()
+        clean = server.drain()
+        print(f"[serve] drained {'cleanly' if clean else 'with queued work failed'}; "
+              f"served {server.stats['served']}", flush=True)
 
 
 if __name__ == "__main__":

@@ -105,6 +105,25 @@ def test_serving_batches_and_resizes(served_model):
     assert srv.stats["served"] == 4 and srv.stats["pending"] == 0
 
 
+def test_serving_drain_answers_queued_then_refuses(served_model):
+    """drain(): graceful shutdown — queued requests complete, new ones are
+    refused, stop() fires afterwards (the daemon's SIGTERM path)."""
+    model, t_params, vae_params = served_model
+    rng = np.random.default_rng(2)
+    srv = InferenceServer(model, t_params, vae_params, _cfg()).start()
+    futs = [
+        srv.submit(rng.random((32, 32, 4)).astype(np.float32), seed=i)
+        for i in range(3)
+    ]
+    assert srv.drain(timeout=300.0) is True
+    for f in futs:
+        out = f.result(timeout=1.0)  # already resolved by drain
+        assert out.shape == (32, 32, 4) and np.isfinite(out).all()
+    with pytest.raises(RuntimeError):
+        srv.submit(rng.random((32, 32, 4)).astype(np.float32))
+    assert srv.stats["pending"] == 0 and srv.stats["served"] == 3
+
+
 def test_serving_out_of_range_seed(served_model):
     """seed=-1 (or any out-of-uint32 value) must not fail the batch."""
     model, t_params, vae_params = served_model
