@@ -47,6 +47,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    "over the first N devices (parallel/pipeline.py) — full-scale "
                    "FLUX.1 bf16 across small-HBM chips with no per-block "
                    "collectives. Composes with --quant int8.")
+    p.add_argument("--tp", type=int, default=1,
+                   help="Tensor-parallel degree: Megatron column/row sharding of "
+                   "the transformer over the first N devices' 'model' mesh axis "
+                   "(parallel/tensor_parallel.py), head-sharded flash attention. "
+                   "Mutually exclusive with --pp; composes with --quant int8.")
     p.add_argument("--compilation_cache", type=str, default="auto",
                    help="Persistent XLA compilation cache: 'auto' (default, "
                    "~/.cache/ragb_vae_tpu/xla_cache), 'off', or a directory. "
@@ -81,6 +86,18 @@ def run(args: argparse.Namespace) -> None:
                 args.lora_alpha = int(alpha)
             print(f"Loaded LoRA metadata: rank={args.rank} alpha={args.lora_alpha}")
 
+    if args.tp > 1 and args.pp > 1:
+        raise SystemExit("--tp and --pp are mutually exclusive.")
+    mesh = None
+    if args.tp > 1:
+        from jax.sharding import Mesh
+        import numpy as _np
+
+        devices = jax.devices()
+        if len(devices) < args.tp:
+            raise SystemExit(f"--tp {args.tp} needs {args.tp} devices, found {len(devices)}.")
+        mesh = Mesh(_np.array(devices[: args.tp]), ("model",))
+
     model, t_params, vae_params = FluxTextAlphaModel.from_pretrained(
         args.pretrained_model_name_or_path,
         vae_path=args.rgba_vae_path,
@@ -89,6 +106,7 @@ def run(args: argparse.Namespace) -> None:
         lora_rank=args.rank if args.lora_path else 0,
         lora_alpha=float(args.lora_alpha),
         weight_quant=args.quant,
+        attention_mesh=mesh,
     )
     if args.lora_path:
         t_params = model.load_lora(t_params, args.lora_path)
@@ -122,6 +140,19 @@ def run(args: argparse.Namespace) -> None:
                 model, pipe, stage_params, vae_params, batch,
                 num_inference_steps=args.steps, key=key,
             )
+    elif mesh is not None:
+        from ragb_vae_tpu.parallel.tensor_parallel import (
+            shard_transformer_params,
+            sharded_sample_fn,
+        )
+
+        t_params, t_shardings = shard_transformer_params(t_params, mesh)
+        tp_sample = sharded_sample_fn(
+            model, mesh, num_inference_steps=args.steps, shardings=t_shardings
+        )
+
+        def run_sample(t_params, vae_params, batch, key):
+            return tp_sample(t_params, vae_params, batch, key)
     else:
         def run_sample(t_params, vae_params, batch, key):
             return model.sample(

@@ -168,6 +168,9 @@ class InferenceServer:
         self._draining = False
         self._thread: Optional[threading.Thread] = None
         self._served = 0
+        self._batches = 0
+        self._lat_sum = 0.0
+        self._lat_max = 0.0
         self._pipe = pipeline
         if pipeline is not None:
             self.t_params = t_params
@@ -407,7 +410,12 @@ class InferenceServer:
     def stats(self) -> Dict[str, int]:
         with self._queues_lock:
             pending = sum(q.qsize() for q in self._queues.values())
-        return {"served": self._served, "pending": pending}
+        out = {"served": self._served, "pending": pending, "batches": self._batches}
+        if self._served:
+            # end-to-end request latency (enqueue -> result), ms
+            out["latency_avg_ms"] = round(1000.0 * self._lat_sum / self._served, 1)
+            out["latency_max_ms"] = round(1000.0 * self._lat_max, 1)
+        return out
 
     # -- batcher -------------------------------------------------------
     def _run(self) -> None:
@@ -522,6 +530,12 @@ class InferenceServer:
             out = np.asarray(
                 self._step(self.t_params, self.vae_params, jnp.asarray(images), jnp.asarray(seeds))
             )
+        done = time.monotonic()
+        self._batches += 1
         for r, pred in zip(reqs, out[:n]):
             r.future.set_result(resize_rgba(pred, r.orig_size))
             self._served += 1
+            lat = done - r.enqueued
+            self._lat_sum += lat
+            if lat > self._lat_max:
+                self._lat_max = lat

@@ -14,7 +14,9 @@ the installed `ragb-serve` entry point calls it directly.
 
 Endpoints:
     POST /predict[?seed=N]   body: RGBA PNG  ->  200, predicted RGBA PNG
-    GET  /healthz            -> {"status": "ok", "served": N, "pending": N}
+    GET  /healthz            -> {"status": "ok", "served": N, "pending": N,
+                                 "batches": N, "latency_avg_ms": x,
+                                 "latency_max_ms": x}
 """
 from __future__ import annotations
 

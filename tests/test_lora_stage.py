@@ -186,6 +186,42 @@ def test_inference_cli(pretrained_dir, tmp_path):
     assert arr.shape == (64, 64, 4)
 
 
+def test_inference_cli_tp(pretrained_dir, tmp_path):
+    """--tp N: Megatron-sharded transformer through the CLI (no LoRA)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(4)
+    inp = tmp_path / "in.png"
+    Image.fromarray(rng.integers(0, 256, (64, 64, 4), dtype=np.uint8), "RGBA").save(inp)
+    out = tmp_path / "out_tp.png"
+
+    env = {"JAX_PLATFORMS": "cpu", "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    import os
+
+    result = subprocess.run(
+        [
+            sys.executable,
+            str(Path(__file__).resolve().parent.parent / "inference_rgba_flux.py"),
+            "--pretrained_model_name_or_path", str(pretrained_dir),
+            "--rgba_vae_path", str(pretrained_dir / "vae"),
+            "--vae_subfolder", "",
+            "--input_image", str(inp),
+            "--output_path", str(out),
+            "--steps", "1",
+            "--seed", "0",
+            "--precision", "fp32",
+            "--tp", "2",
+        ],
+        capture_output=True,
+        text=True,
+        env={**os.environ, **env},
+        timeout=1200,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    arr = np.asarray(Image.open(out))
+    assert arr.shape == (64, 64, 4)
+
+
 def test_inference_resolve_inputs(tmp_path):
     from PIL import Image
 
