@@ -77,7 +77,16 @@ class DataLoader:
         collate_fn: Optional[Callable[[List[Dict[str, Any]]], Dict[str, Any]]] = None,
         prefetch_batches: int = 2,
         seed: Optional[int] = None,
+        process_shard: Optional[Sequence[int]] = None,
     ) -> None:
+        """`process_shard=(index, count)`: multi-host input sharding. Every
+        process iterates the SAME seeded global index stream (so hosts agree
+        on batch boundaries and bucket choices), but fetches/decodes only
+        its contiguous sub-slice of each batch — the per-host half of the
+        reference's accelerate DataLoader sharding. Batches then carry
+        `global_batch_size` so the training loop can reassemble the global
+        array (`parallel.put_global_batch`). Global batches must divide by
+        `count` (sharded train loaders force drop_last)."""
         if (batch_sampler is None) == (batch_size is None):
             raise ValueError("Provide exactly one of batch_sampler or batch_size.")
         self.dataset = dataset
@@ -89,6 +98,13 @@ class DataLoader:
         self.collate_fn = collate_fn or default_collate
         self.prefetch_batches = max(0, int(prefetch_batches))
         self.seed = seed
+        if process_shard is not None:
+            index, count = (int(process_shard[0]), int(process_shard[1]))
+            if not (count >= 1 and 0 <= index < count):
+                raise ValueError(f"invalid process_shard {process_shard!r}")
+            self.process_shard = (index, count) if count > 1 else None
+        else:
+            self.process_shard = None
         self._epoch = 0
         self._pool = ThreadPoolExecutor(max_workers=self.num_workers) if self.num_workers else None
 
@@ -111,6 +127,25 @@ class DataLoader:
             yield indices[start : start + self.batch_size].tolist()
 
     def _fetch(self, batch_indices: List[int]) -> Dict[str, Any]:
+        global_n = len(batch_indices)
+        if self.process_shard is not None:
+            index, count = self.process_shard
+            if global_n % count:
+                # hosts must agree on a uniform per-host row count (the
+                # global array is assembled from equal local slices);
+                # build_dataloader forces drop_last on sharded train loaders
+                raise ValueError(
+                    f"global batch of {global_n} not divisible by "
+                    f"{count} processes — use drop_last or a divisible batch_size"
+                )
+            per = global_n // count
+            batch_indices = batch_indices[index * per : (index + 1) * per]
+        batch = self._fetch_items(batch_indices)
+        if self.process_shard is not None:
+            batch["global_batch_size"] = global_n
+        return batch
+
+    def _fetch_items(self, batch_indices: List[int]) -> Dict[str, Any]:
         if hasattr(self.dataset, "getitems"):
             # dataset-level batch fetch (e.g. the native C++ batch PNG
             # decode in MixedBucketDataset.getitems — its worker threads

@@ -12,6 +12,7 @@ from ragb_vae_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
     pad_batch_to_mesh,
+    put_global_batch,
     replicated,
     shard_batch,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "pad_batch_to_mesh",
     "replicated",
     "replicated_tree",
+    "put_global_batch",
     "shard_batch",
     "shard_tree",
     "split_microbatches",

@@ -78,3 +78,31 @@ def shard_batch(arrays, mesh: Mesh, axis: str = DATA_AXIS):
     """device_put a pytree of host arrays with batch-dim sharding."""
     sharding = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), arrays)
+
+
+def put_global_batch(array, sharding, *, is_global: bool = False):
+    """Place a data-parallel input batch on a (possibly multi-host) mesh.
+
+    Single-process: plain device_put. Multi-process: `array` is this
+    host's contiguous slice of the global batch (the loader's
+    `process_shard` output) and the global jax.Array is assembled with
+    `make_array_from_process_local_data` — no cross-host transfer, each
+    host feeds only its own devices. With `is_global=True` the caller
+    holds the IDENTICAL full batch on every host (e.g. an unsharded val
+    loader with a shared seed) and this slices out the local rows first.
+
+    Assumes the mesh's data axis enumerates devices in `jax.devices()`
+    order (how `create_mesh` builds it), so process p's devices cover the
+    contiguous row range [p*per, (p+1)*per) of the global batch.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(array, sharding)
+    if is_global:
+        if array.shape[0] % jax.process_count():
+            raise ValueError(
+                f"global batch {array.shape[0]} not divisible by "
+                f"{jax.process_count()} processes"
+            )
+        per = array.shape[0] // jax.process_count()
+        array = array[jax.process_index() * per : (jax.process_index() + 1) * per]
+    return jax.make_array_from_process_local_data(sharding, array)

@@ -39,7 +39,12 @@ from ragb_vae_tpu.data.transforms import RandomBackgroundBlend
 from ragb_vae_tpu.models.losses import AlphaVaeLossConfig
 from ragb_vae_tpu.models.rgba_vae import RgbaVAE
 from ragb_vae_tpu.ops.rgba import composite_over_checkerboard
-from ragb_vae_tpu.parallel import create_mesh, batch_sharding, replicated
+from ragb_vae_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    put_global_batch,
+    replicated,
+)
 from ragb_vae_tpu.training import checkpoint as ckpt_lib
 from ragb_vae_tpu.training.vae_step import (
     VaeStepConfig,
@@ -97,6 +102,24 @@ def build_dataloader(cfg: Dict[str, Any], *, split: Optional[str] = None) -> Dat
     val_shuffle = bool(data_cfg.get("val_shuffle", False))
     seed = data_cfg.get("seed")
 
+    # Multi-host input sharding (data.shard_by_process, default on): every
+    # process iterates the SAME seeded index stream — hosts agree on batch
+    # boundaries and bucket choices — but decodes only its contiguous slice
+    # (the per-host half of the reference's accelerate DataLoader sharding).
+    # drop_last is forced so per-host row counts stay uniform; the stage
+    # reassembles the global array via parallel.put_global_batch.
+    shard_kwargs: Dict[str, Any] = {}
+    force_drop_last = False
+    if train_mode and bool(data_cfg.get("shard_by_process", True)) and jax.process_count() > 1:
+        n_proc = jax.process_count()
+        if int(data_cfg.get("batch_size", 4)) % n_proc:
+            raise ValueError(
+                f"data.batch_size={data_cfg.get('batch_size')} must divide by "
+                f"{n_proc} processes for multi-host input sharding"
+            )
+        shard_kwargs = {"process_shard": (jax.process_index(), n_proc)}
+        force_drop_last = True
+
     if source == "bucket":
         dataset_kwargs = data_cfg.get("dataset_kwargs", {"include_metadata": False})
         val_dataset_kwargs = data_cfg.get("val_dataset_kwargs", dataset_kwargs)
@@ -133,6 +156,11 @@ def build_dataloader(cfg: Dict[str, Any], *, split: Optional[str] = None) -> Dat
                 transform=transform,
                 dataset_kwargs=extra_kwargs,
                 seed=seed,
+                # NOT process-sharded: pad_collate pads to the LOCAL batch
+                # max, so per-host shapes could diverge — hosts decode the
+                # full batch and the stage slices it (put_global_batch
+                # is_global=True). drop_last still keeps batches uniform.
+                drop_last=force_drop_last or bool(data_cfg.get("drop_last", False)),
             )
 
         bucket_entries = build_bucket_entries(
@@ -156,7 +184,7 @@ def build_dataloader(cfg: Dict[str, Any], *, split: Optional[str] = None) -> Dat
             dataset.bucket_to_indices,
             batch_size=data_cfg.get("batch_size", 4),
             shuffle=shuffle,
-            drop_last=bool(data_cfg.get("drop_last", False)),
+            drop_last=force_drop_last or bool(data_cfg.get("drop_last", False)),
             interleave=bool(data_cfg.get("interleave_buckets", False)),
             seed=seed,
         )
@@ -165,6 +193,7 @@ def build_dataloader(cfg: Dict[str, Any], *, split: Optional[str] = None) -> Dat
             batch_sampler=batch_sampler,
             num_workers=data_cfg.get("num_workers", 4),
             collate_fn=default_collate,
+            **shard_kwargs,
         )
 
     ds = MultiLayerDataset(
@@ -181,6 +210,7 @@ def build_dataloader(cfg: Dict[str, Any], *, split: Optional[str] = None) -> Dat
         num_workers=data_cfg.get("num_workers", 4),
         collate_fn=multilayer_collate,
         seed=seed,
+        drop_last=force_drop_last,  # unsharded: see component-path note
     )
 
 
@@ -373,10 +403,19 @@ def evaluate_rgba_vae(
         n_real = inputs.shape[0]
         inputs = pad_to_multiple(inputs, n_devices)
         images = (
-            jax.device_put(inputs, sharding) if sharding is not None else jnp.asarray(inputs)
+            put_global_batch(inputs, sharding, is_global=True)
+            if sharding is not None
+            else jnp.asarray(inputs)
         )
         key, sub = jax.random.split(key)
         out = eval_step(params, images, sub)
+        if jax.process_count() > 1:
+            # batch-sharded outputs have non-addressable shards: gather to
+            # host numpy on every process (val loaders are unsharded, so
+            # every host runs the identical eval and agrees on metrics)
+            from jax.experimental import multihost_utils
+
+            out = multihost_utils.process_allgather(out, tiled=True)
         for spec in background_specs:
             psnr_records[str(spec)].append(np.asarray(out[f"psnr_{spec}"])[:n_real])
         alpha_l1.append(np.asarray(out["alpha_mae"])[:n_real])
@@ -401,7 +440,7 @@ def evaluate_rgba_vae(
             )
         metrics["val/alpha_mae"] = float(np.concatenate(alpha_l1).mean())
         print(f"[RGBA-VAE][val] epoch {epoch} alpha MAE: {metrics['val/alpha_mae']:.4f}")
-    if viz:
+    if viz and jax.process_index() == 0:  # one writer on shared filesystems
         save_validation_grid(
             viz,
             epoch=epoch,
@@ -427,6 +466,20 @@ def save_checkpoints(
         opt_state=opt_state,
         step=step or 0,
     )
+    if jax.process_count() > 1:
+        # ZeRO-sharded opt state has non-addressable shards on every host:
+        # gather to host numpy (collective — ALL processes must reach this
+        # line), then only process 0 touches the filesystem (shared-FS safe;
+        # the reference relies on accelerate's is_main_process the same way)
+        from jax.experimental import multihost_utils
+
+        kwargs["params"] = multihost_utils.process_allgather(params, tiled=True)
+        if opt_state is not None:
+            kwargs["opt_state"] = multihost_utils.process_allgather(
+                opt_state, tiled=True
+            )
+        if jax.process_index() != 0:
+            return target
     keep_last = int(train_cfg.get("ckpt_keep_last", 0) or 0)
 
     def _prune():
@@ -469,6 +522,14 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
 
     mesh = create_mesh()
     n_devices = mesh.devices.size
+    n_proc = jax.process_count()
+    if n_proc > 1 and float(data_cfg.get("background_sample_prob", 0.0)) > 0.0:
+        # per-host RNG over per-host slices would desync global row counts
+        raise ValueError(
+            "data.background_sample_prob > 0 is not supported on multi-host "
+            "runs (hosts would disagree on the training-batch row count); "
+            "set it to 0 or run single-host."
+        )
 
     rgb_ckpt = model_cfg.get("rgb_checkpoint")
     if not rgb_ckpt:
@@ -591,7 +652,7 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
         ref_params = jax.device_put(ref_params, replicated(mesh))
 
     sample_vis_count = int(train_cfg.get("sample_vis_count", 0) or 0)
-    if sample_vis_count > 0:
+    if sample_vis_count > 0 and jax.process_index() == 0:
         try:
             visualize_dataloader_samples(
                 train_loader,
@@ -685,8 +746,17 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
         if resume_from is None:
             print("[RGBA-VAE] resume_from: auto — no checkpoint found, starting fresh")
     if resume_from:
+        if n_proc > 1:
+            # ZeRO-sharded state has non-addressable shards: device_get
+            # would raise — gather collectively (all hosts reach this line
+            # because resume_from derives from the shared config/ckpt_dir)
+            from jax.experimental import multihost_utils
+
+            opt_template = multihost_utils.process_allgather(opt_state, tiled=True)
+        else:
+            opt_template = jax.device_get(opt_state)
         _, params_loaded, opt_loaded, meta = ckpt_lib.load_train_checkpoint(
-            resume_from, opt_state_template=jax.device_get(opt_state)
+            resume_from, opt_state_template=opt_template
         )
         params = jax.device_put(params_loaded, replicated(mesh))
         if opt_loaded is not None:
@@ -741,7 +811,13 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
     from ragb_vae_tpu.utils.metrics_logger import MetricsLogger
     from ragb_vae_tpu.utils.profiling import annotate, trace_context
 
-    metrics_logger = MetricsLogger(train_cfg.get("metrics_dir", train_cfg.get("ckpt_dir")))
+    metrics_logger = MetricsLogger(
+        # one JSONL writer on shared filesystems; metrics are replicated so
+        # process 0's view is the global truth
+        train_cfg.get("metrics_dir", train_cfg.get("ckpt_dir"))
+        if jax.process_index() == 0
+        else None
+    )
 
     # Resume places the run INSIDE the schedule, not at its start: derive
     # the epoch and intra-epoch position from the restored step (otherwise a
@@ -786,20 +862,42 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
                 )
                 micro = step_cfg.gradient_accumulation_steps
                 n_real = inputs.shape[0]
-                inputs = pad_to_multiple(
-                    np.asarray(inputs, dtype=np.float32), n_devices * micro
-                )
-                images = jax.device_put(inputs, input_sharding)
-                weights = jax.device_put(
-                    padding_weights(n_real, inputs.shape[0]), input_sharding
-                )
+                if n_proc > 1 and "global_batch_size" in batch:
+                    # multi-host sharded loader: this host decoded only its
+                    # slice — pad LOCALLY to the per-host share of the global
+                    # pad multiple and assemble the global array without
+                    # cross-host transfers (parallel.put_global_batch)
+                    inputs = pad_to_multiple(
+                        np.asarray(inputs, dtype=np.float32),
+                        (n_devices // n_proc) * micro,
+                    )
+                    images = put_global_batch(inputs, input_sharding)
+                    weights = put_global_batch(
+                        padding_weights(n_real, inputs.shape[0]), input_sharding
+                    )
+                    n_step_real = n_real * n_proc  # uniform per-host slices
+                else:
+                    inputs = pad_to_multiple(
+                        np.asarray(inputs, dtype=np.float32), n_devices * micro
+                    )
+                    # is_global: on multi-host runs with an unsharded loader
+                    # every host holds the identical full batch (shared seed)
+                    images = put_global_batch(
+                        inputs, input_sharding, is_global=True
+                    )
+                    weights = put_global_batch(
+                        padding_weights(n_real, inputs.shape[0]),
+                        input_sharding,
+                        is_global=True,
+                    )
+                    n_step_real = n_real
                 key, sub = jax.random.split(key)
                 with annotate("rgba_vae_train_step", step=global_step):
                     params, opt_state, metrics = train_step(
                         params, opt_state, {"images": images, "weights": weights}, sub
                     )
                 global_step += 1
-                images_seen += n_real
+                images_seen += n_step_real
                 pending = [metrics]  # only the newest is ever materialized
 
                 if nan_check_every > 0 and global_step % nan_check_every == 0:

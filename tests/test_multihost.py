@@ -1,0 +1,196 @@
+"""Multi-host data-parallel training: sharded input pipeline + real
+2-process execution.
+
+The reference inherits multi-rank behavior from accelerate/DeepSpeed
+(per-rank DataLoader shards, is_main_process file writes); here:
+  - DataLoader(process_shard=(i, n)) decodes only this host's contiguous
+    slice of each seeded global batch (data/loader.py),
+  - parallel.put_global_batch assembles the global jax.Array without
+    cross-host transfers (make_array_from_process_local_data),
+  - save_checkpoints gathers the ZeRO-sharded opt state and writes from
+    process 0 only (training/rgba_vae_stage.py).
+
+The heavyweight test spawns TWO REAL PROCESSES (4 virtual CPU devices
+each, jax.distributed over localhost) and runs the full RGBA-VAE stage —
+train steps on the 8-device global mesh, validation with gathered
+metrics, gathered checkpoint, then a resume leg. Multi-host execution
+used to be unprovable in this environment; this is the existence proof.
+"""
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from ragb_vae_tpu.data.loader import DataLoader
+
+# reuse the tiny-model fixtures from the stage suite
+from tests.test_training_stage import _make_cfg, data_tree, tiny_ckpt  # noqa: F401
+
+
+class _FakeDataset:
+    def __init__(self, n=32):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"composite": np.full((4, 4, 4), float(i), np.float32), "idx": i}
+
+
+def test_loader_process_shards_are_disjoint_and_cover():
+    batches = {}
+    for index in range(4):
+        dl = DataLoader(
+            _FakeDataset(32), batch_size=8, shuffle=True, seed=7,
+            prefetch_batches=0, process_shard=(index, 4),
+        )
+        batches[index] = [b["idx"].tolist() for b in dl]
+    # same number of batches per shard, 2 rows each (8 global / 4 shards)
+    assert all(len(b) == 4 for b in batches.values())
+    for bi in range(4):
+        rows = [batches[s][bi] for s in range(4)]
+        assert all(len(r) == 2 for r in rows)
+        merged = [i for r in rows for i in r]
+        assert len(set(merged)) == 8  # disjoint, union = the global batch
+    # identical seed => identical global stream: shard 0 of a fresh loader matches
+    dl0 = DataLoader(
+        _FakeDataset(32), batch_size=8, shuffle=True, seed=7,
+        prefetch_batches=0, process_shard=(0, 4),
+    )
+    assert [b["idx"].tolist() for b in dl0] == batches[0]
+
+
+def test_loader_shard_reports_global_batch_size():
+    dl = DataLoader(
+        _FakeDataset(16), batch_size=8, shuffle=False, prefetch_batches=0,
+        process_shard=(1, 2),
+    )
+    batch = next(iter(dl))
+    assert batch["global_batch_size"] == 8
+    assert batch["composite"].shape[0] == 4
+
+
+def test_loader_shard_rejects_indivisible():
+    dl = DataLoader(
+        _FakeDataset(10), batch_size=3, shuffle=False, prefetch_batches=0,
+        process_shard=(0, 2),
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        next(iter(dl))
+
+
+def test_loader_shard_validation():
+    with pytest.raises(ValueError):
+        DataLoader(_FakeDataset(), batch_size=2, process_shard=(2, 2))
+    # count == 1 degenerates to unsharded
+    dl = DataLoader(
+        _FakeDataset(8), batch_size=4, shuffle=False, prefetch_batches=0,
+        process_shard=(0, 1),
+    )
+    batch = next(iter(dl))
+    assert "global_batch_size" not in batch and batch["composite"].shape[0] == 4
+
+
+def test_put_global_batch_single_process():
+    import jax
+
+    from ragb_vae_tpu.parallel import batch_sharding, create_mesh, put_global_batch
+
+    mesh = create_mesh()
+    sh = batch_sharding(mesh)
+    x = np.arange(8 * 2, dtype=np.float32).reshape(8, 2)
+    y = put_global_batch(x, sh)
+    z = put_global_batch(x, sh, is_global=True)
+    np.testing.assert_array_equal(np.asarray(y), x)
+    np.testing.assert_array_equal(np.asarray(z), x)
+    assert y.sharding.is_equivalent_to(sh, 2)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _launch(pid: int, nproc: int, coordinator: str, cfg_path: Path, repo: Path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # runner sets its own 4-device count
+    return subprocess.Popen(
+        [
+            sys.executable,
+            str(repo / "tests" / "multihost_train_runner.py"),
+            str(pid), str(nproc), coordinator, str(cfg_path),
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        env=env,
+        cwd=repo,
+    )
+
+
+def _run_cluster(cfg_path: Path, repo: Path, nproc: int = 2, timeout: int = 900):
+    import time
+
+    coordinator = f"127.0.0.1:{_free_port()}"
+    procs = [_launch(p, nproc, coordinator, cfg_path, repo) for p in range(nproc)]
+    # poll: a rank dying mid-run leaves its peers hung in a collective —
+    # kill the cluster on first failure instead of waiting out the timeout
+    deadline = time.time() + timeout
+    try:
+        while time.time() < deadline:
+            codes = [p.poll() for p in procs]
+            if any(c not in (None, 0) for c in codes) or all(
+                c is not None for c in codes
+            ):
+                break
+            time.sleep(0.5)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    outs = [p.communicate()[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} exited {p.returncode}:\n{out[-4000:]}"
+    return outs
+
+
+def test_two_process_training_end_to_end(tiny_ckpt, data_tree, tmp_path):  # noqa: F811
+    repo = Path(__file__).resolve().parent.parent
+    cfg = _make_cfg(
+        tiny_ckpt, data_tree, tmp_path,
+        max_steps=2, run_validation=True, val_max_batches=1,
+    )
+    cfg_path = tmp_path / "mh.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    outs = _run_cluster(cfg_path, repo)
+    for out in outs:
+        assert "done loss=" in out
+    # both ranks computed the identical (replicated) loss
+    losses = [line for out in outs for line in out.splitlines() if "done loss=" in line]
+    vals = sorted(ln.split("loss=")[1].split()[0] for ln in losses)
+    assert vals[0] == vals[-1], losses
+
+    # only process 0 wrote the checkpoint; it contains the gathered state
+    ckpt = tmp_path / "ckpts" / "step_0000002"
+    assert (ckpt / "train_state.msgpack").exists()
+
+    # resume leg: both processes restart from the gathered checkpoint
+    # (exercises device_put of host state onto the global sharded layout)
+    cfg2 = _make_cfg(
+        tiny_ckpt, data_tree, tmp_path,
+        max_steps=1, run_validation=False, resume_from=str(ckpt),
+    )
+    cfg2_path = tmp_path / "mh_resume.yaml"
+    cfg2_path.write_text(yaml.safe_dump(cfg2))
+    outs2 = _run_cluster(cfg2_path, repo)
+    assert all("step=3" in out for out in outs2), outs2[0][-2000:]
+    assert (tmp_path / "ckpts" / "step_0000003" / "train_state.msgpack").exists()
