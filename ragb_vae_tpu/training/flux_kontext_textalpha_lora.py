@@ -37,6 +37,7 @@ from ragb_vae_tpu.models.flux_weights import merge_params, split_lora_params
 from ragb_vae_tpu.parallel import (
     batch_sharding,
     create_mesh,
+    put_global_batch,
     replicated,
     zero_sharding,
 )
@@ -136,6 +137,8 @@ def _save_pair(gt: np.ndarray, pred: np.ndarray, path: Path) -> None:
 def train(args: argparse.Namespace) -> Dict[str, float]:
     mesh = create_mesh()
     n_devices = mesh.devices.size
+    n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
     dtype = jnp.bfloat16 if args.mixed_precision in ("bf16", "fp16") else jnp.float32
 
     model, t_params, vae_params = FluxTextAlphaModel.from_pretrained(
@@ -180,15 +183,27 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
         if args.val_split
         else None
     )
+    if n_proc > 1 and args.batch_size % n_proc:
+        raise ValueError(
+            f"data.batch_size={args.batch_size} must divide by {n_proc} "
+            "processes for multi-host input sharding"
+        )
     train_sampler = BucketBatchSampler(
         train_ds.bucket_to_indices,
         batch_size=args.batch_size,
         shuffle=True,
-        drop_last=args.drop_last,
+        # multi-host: uniform per-host slices (see rgba_vae_stage notes)
+        drop_last=args.drop_last or n_proc > 1,
         interleave=args.interleave_buckets,
         seed=args.seed,
     )
-    train_dl = DataLoader(train_ds, batch_sampler=train_sampler, num_workers=args.num_workers)
+    train_dl = DataLoader(
+        train_ds,
+        batch_sampler=train_sampler,
+        num_workers=args.num_workers,
+        # bucket-pure batches: safe to decode only this host's slice
+        process_shard=(jax.process_index(), n_proc) if n_proc > 1 else None,
+    )
     val_dl = (
         DataLoader(val_ds, batch_size=args.val_batch_size, shuffle=True,
                    num_workers=min(4, args.num_workers), seed=args.seed)
@@ -266,14 +281,32 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
         if val_dl is None:
             return
         out_dir = Path(args.val_output_dir) / f"step-{step_label}"
-        out_dir.mkdir(parents=True, exist_ok=True)
+        if is_main:
+            out_dir.mkdir(parents=True, exist_ok=True)
         saved = 0
         for batch in val_dl:
             if saved >= args.val_max_samples:
                 break
-            gt = jnp.asarray(batch["gt"], jnp.float32)
+            gt_np = np.asarray(batch["gt"], np.float32)
+            n_real_v = gt_np.shape[0]
             key, sub = jax.random.split(key)
-            decoded = np.asarray(sample_jit(lora_params, gt, sub))
+            if n_proc > 1:
+                # val loader is unsharded (every host holds the identical
+                # batch): pad to the global mesh, sample sharded, gather
+                from jax.experimental import multihost_utils
+
+                gt_dev = put_global_batch(
+                    pad_to_multiple(gt_np, n_devices), bsh, is_global=True
+                )
+                decoded = np.asarray(
+                    multihost_utils.process_allgather(
+                        sample_jit(lora_params, gt_dev, sub), tiled=True
+                    )
+                )[:n_real_v]
+            else:
+                decoded = np.asarray(
+                    sample_jit(lora_params, jnp.asarray(gt_np), sub)
+                )
             names = batch.get("sample_name", ["val"])
             if isinstance(names, str):
                 names = [names]
@@ -281,13 +314,26 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
                 if saved >= args.val_max_samples:
                     break
                 name = names[i] if i < len(names) else f"val_{saved}"
-                _save_pair(np.asarray(gt[i]), decoded[i], out_dir / f"{name}_pair.png")
+                if is_main:
+                    _save_pair(gt_np[i], decoded[i], out_dir / f"{name}_pair.png")
                 saved += 1
         print(f"[val-{step_label}] saved {saved} GT|pred pairs to {out_dir}")
 
     from flax import serialization
 
+    def _host_opt_state():
+        # ZeRO-sharded state has non-addressable shards on multi-host:
+        # gather collectively (every process must call this together)
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.process_allgather(opt_state, tiled=True)
+        return jax.device_get(opt_state)
+
     def save_lora(step: int, subdir: str) -> None:
+        host_opt = _host_opt_state()  # collective — before the is_main gate
+        if not is_main:
+            return
         save_dir = Path(args.ckpt_dir) / subdir
         model.save_lora_weights(merge_params(base_params, lora_params), save_dir)
         write_lora_metadata(
@@ -301,13 +347,13 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
         # Beyond-parity resume state (reference LoRA stage is save-only,
         # flux_kontext_textalpha_lora.py:315-323): optimizer state + RNG key
         # alongside the peft-format adapters.
-        resume_state = {"opt_state": jax.device_get(opt_state), "key": jax.device_get(key)}
+        resume_state = {"opt_state": host_opt, "key": jax.device_get(key)}
         (save_dir / "train_state.msgpack").write_bytes(serialization.to_bytes(resume_state))
         print(f"[ckpt] saved LoRA weights to {save_dir}")
 
     from ragb_vae_tpu.utils.metrics_logger import MetricsLogger
 
-    metrics_logger = MetricsLogger(args.ckpt_dir)
+    metrics_logger = MetricsLogger(args.ckpt_dir if is_main else None)
 
     key = jax.random.PRNGKey(args.seed)
     total_steps = 0
@@ -334,7 +380,13 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
         lora_params = jax.device_put(lora_host, rep)
         state_file = resume_dir / "train_state.msgpack"
         if state_file.exists():
-            template = {"opt_state": jax.device_get(opt_state), "key": jax.device_get(key)}
+            if n_proc > 1:
+                from jax.experimental import multihost_utils
+
+                opt_template = multihost_utils.process_allgather(opt_state, tiled=True)
+            else:
+                opt_template = jax.device_get(opt_state)
+            template = {"opt_state": opt_template, "key": jax.device_get(key)}
             restored = serialization.from_bytes(template, state_file.read_bytes())
             opt_state = jax.device_put(restored["opt_state"], opt_shardings)
             key = jnp.asarray(restored["key"])
@@ -361,14 +413,23 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
         train_dl.set_epoch(epoch)
         for batch in train_dl:
             n_real = np.asarray(batch["gt"]).shape[0]
-            gt = pad_to_multiple(np.asarray(batch["gt"], np.float32), n_devices * n_micro)
+            # multi-host: each host decoded only its slice — pad locally to
+            # the per-host share of the pad multiple and assemble the global
+            # array without cross-host transfers (parallel.put_global_batch;
+            # single-process this degenerates to a plain device_put)
+            sharded_in = n_proc > 1 and "global_batch_size" in batch
+            pad_mult = ((n_devices // n_proc) if sharded_in else n_devices) * n_micro
+            gt = pad_to_multiple(np.asarray(batch["gt"], np.float32), pad_mult)
             ta = pad_to_multiple(
-                np.asarray(batch["text_alpha"], np.float32), n_devices * n_micro
+                np.asarray(batch["text_alpha"], np.float32), pad_mult
             )
+            is_global = not sharded_in
             device_batch = {
-                "gt": jax.device_put(gt, bsh),
-                "text_alpha": jax.device_put(ta, bsh),
-                "weights": jax.device_put(padding_weights(n_real, gt.shape[0]), bsh),
+                "gt": put_global_batch(gt, bsh, is_global=is_global),
+                "text_alpha": put_global_batch(ta, bsh, is_global=is_global),
+                "weights": put_global_batch(
+                    padding_weights(n_real, gt.shape[0]), bsh, is_global=is_global
+                ),
             }
             key, sub = jax.random.split(key)
             lora_params, opt_state, loss, _ = train_step(

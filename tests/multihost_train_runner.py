@@ -33,11 +33,11 @@ def main() -> None:
 
     import yaml
 
-    from ragb_vae_tpu.training.rgba_vae_stage import train_rgba_vae
+    from ragb_vae_tpu.training import run_stage
 
     with open(cfg_path) as fh:
         cfg = yaml.safe_load(fh)
-    metrics = train_rgba_vae(cfg)
+    metrics = run_stage(cfg)
     print(
         f"[mh p{pid}] done loss={metrics['train/loss']:.6f} "
         f"step={metrics['global_step']:.0f} "

@@ -28,7 +28,12 @@ import yaml
 
 from ragb_vae_tpu.data.loader import DataLoader
 
-# reuse the tiny-model fixtures from the stage suite
+# reuse the tiny-model fixtures from the stage suites
+from tests.test_lora_stage import (  # noqa: F401
+    _cfg as _lora_cfg,
+    data_root,
+    pretrained_dir,
+)
 from tests.test_training_stage import _make_cfg, data_tree, tiny_ckpt  # noqa: F401
 
 
@@ -194,3 +199,39 @@ def test_two_process_training_end_to_end(tiny_ckpt, data_tree, tmp_path):  # noq
     outs2 = _run_cluster(cfg2_path, repo)
     assert all("step=3" in out for out in outs2), outs2[0][-2000:]
     assert (tmp_path / "ckpts" / "step_0000003" / "train_state.msgpack").exists()
+
+
+def test_two_process_lora_training(pretrained_dir, tmp_path):  # noqa: F811
+    """The LoRA stage on a real 2-process cluster: sharded text-alpha
+    loader, global batch assembly, gathered opt state written by process 0,
+    sharded+gathered validation sampling."""
+    from tests.data_fixtures import _write_png, make_text_alpha_tree
+
+    repo = Path(__file__).resolve().parent.parent
+    ta_root = make_text_alpha_tree(tmp_path / "ta", n=8)
+    for i in range(2):  # a small validation split for the sharded sampler
+        _write_png(ta_root / "validation" / "w64-h64" / "gt" / f"v{i}.png", 64, 64, seed=900 + i)
+        _write_png(
+            ta_root / "validation" / "w64-h64" / "text_alpha" / f"v{i}.png", 64, 64, seed=950 + i
+        )
+    cfg = _lora_cfg(
+        pretrained_dir, ta_root, tmp_path,
+        max_train_steps=2, val_every=0, run_validation_on_start=True,
+    )
+    cfg["data"]["val_split"] = "validation"
+    cfg["data"]["val_batch_size"] = 2
+    cfg_path = tmp_path / "mh_lora.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    outs = _run_cluster(cfg_path, repo)
+    losses = [ln for out in outs for ln in out.splitlines() if "done loss=" in ln]
+    assert len(losses) == 2
+    vals = sorted(ln.split("loss=")[1].split()[0] for ln in losses)
+    assert vals[0] == vals[-1], losses
+
+    final = tmp_path / "ckpts" / "final"
+    assert (final / "pytorch_lora_weights.safetensors").exists()
+    assert (final / "train_state.msgpack").exists()
+    # validation ran sharded and only process 0 wrote the pairs
+    pairs = list((tmp_path / "val" / "step-start").glob("*_pair.png"))
+    assert pairs, "no validation pairs written"
