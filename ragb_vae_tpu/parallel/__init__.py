@@ -10,8 +10,11 @@ from ragb_vae_tpu.parallel.mesh import (
     DATA_AXIS,
     maybe_init_distributed,
     batch_sharding,
+    create_dp_tp_mesh,
+    create_hybrid_mesh,
     create_mesh,
     pad_batch_to_mesh,
+    slice_groups,
     put_global_batch,
     replicated,
     shard_batch,
@@ -34,7 +37,10 @@ __all__ = [
     "accumulated_grads",
     "batch_sharding",
     "fsdp_sharding",
+    "create_dp_tp_mesh",
+    "create_hybrid_mesh",
     "create_mesh",
+    "slice_groups",
     "pad_batch_to_mesh",
     "replicated",
     "replicated_tree",

@@ -118,6 +118,16 @@ def parse_args(args: Optional[List[str]] = None, *, allow_missing: bool = False)
         help="FSDP-style sharding of the frozen transformer base over the data "
              "axis (needed when the base does not fit replicated per chip).",
     )
+    parser.add_argument(
+        "--tensor_parallel", type=int, default=1,
+        help="Megatron tensor parallelism for the frozen base: a (data, "
+             "model) mesh with the base column/row-sharded over `model` "
+             "(parallel/tensor_parallel.py), batch on `data`, LoRA adapters "
+             "replicated. On multi-slice pods the model axis is pinned "
+             "inside a slice so its per-layer all-reduces ride ICI "
+             "(parallel.create_dp_tp_mesh). Mutually exclusive with "
+             "--shard_base_params.",
+    )
     return parser.parse_args(args=args)
 
 
@@ -135,8 +145,23 @@ def _save_pair(gt: np.ndarray, pred: np.ndarray, path: Path) -> None:
 
 
 def train(args: argparse.Namespace) -> Dict[str, float]:
-    mesh = create_mesh()
+    tp = max(1, int(getattr(args, "tensor_parallel", 1) or 1))
+    if tp > 1 and getattr(args, "shard_base_params", False):
+        raise ValueError(
+            "tensor_parallel and shard_base_params are mutually exclusive "
+            "(Megatron model-axis sharding vs FSDP data-axis sharding of "
+            "the same frozen base)"
+        )
+    if tp > 1:
+        from ragb_vae_tpu.parallel import create_dp_tp_mesh
+
+        mesh = create_dp_tp_mesh(tp)
+    else:
+        mesh = create_mesh()
     n_devices = mesh.devices.size
+    # batch rows shard over the data axis only; the model axis (tp) holds
+    # replicas of every row, so all batch math uses data_size, not n_devices
+    data_size = mesh.shape["data"]
     n_proc = jax.process_count()
     is_main = jax.process_index() == 0
     dtype = jnp.bfloat16 if args.mixed_precision in ("bf16", "fp16") else jnp.float32
@@ -166,7 +191,24 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
             lambda x: np.asarray(x).astype(jnp.bfloat16), base_params
         )
     rep = replicated(mesh)
-    if getattr(args, "shard_base_params", False):
+    if tp > 1:
+        # Megatron: q/k/v + MLP-up column-parallel, out/MLP-down
+        # row-parallel over the model axis; one all-reduce per parallel
+        # region, inserted by GSPMD. Works on the int8 tree too
+        # (kernel_q shards like kernel). Grads parity vs single-device is
+        # pinned in tests/test_dp_tp_training.py.
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ragb_vae_tpu.parallel.tensor_parallel import transformer_param_specs
+
+        specs = transformer_param_specs(base_params)
+        base_params = jax.device_put(
+            base_params,
+            jax.tree_util.tree_map(
+                lambda sp: NamedSharding(mesh, sp), specs,
+                is_leaf=lambda x: isinstance(x, PartitionSpec),
+            ),
+        )
+    elif getattr(args, "shard_base_params", False):
         # FSDP-style: frozen base sharded over the data axis; GSPMD inserts
         # the per-layer all-gathers. Fits FLUX-scale bases on 16GB chips.
         from ragb_vae_tpu.parallel import fsdp_sharding, shard_tree
@@ -260,10 +302,11 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
         donate_argnums=(0, 1),
     )
 
-    effective = args.batch_size * n_micro * n_devices
+    effective = args.batch_size * n_micro * data_size
     print(
         f"[Batch] per_device={args.batch_size} grad_accum={n_micro} "
-        f"devices={n_devices} effective_per_step={effective}"
+        f"devices={n_devices} data_parallel={data_size} tensor_parallel={tp} "
+        f"effective_per_step={effective}"
     )
     print(f"[Train] {len(train_ds)} samples across {len(train_ds.bucket_to_indices)} buckets.")
     print(f"[Val]   {len(val_ds)} samples." if val_ds is not None else "[Val]   (disabled: no val_split provided)")
@@ -296,7 +339,7 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
                 from jax.experimental import multihost_utils
 
                 gt_dev = put_global_batch(
-                    pad_to_multiple(gt_np, n_devices), bsh, is_global=True
+                    pad_to_multiple(gt_np, data_size), bsh, is_global=True
                 )
                 decoded = np.asarray(
                     multihost_utils.process_allgather(
@@ -418,7 +461,7 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
             # array without cross-host transfers (parallel.put_global_batch;
             # single-process this degenerates to a plain device_put)
             sharded_in = n_proc > 1 and "global_batch_size" in batch
-            pad_mult = ((n_devices // n_proc) if sharded_in else n_devices) * n_micro
+            pad_mult = ((data_size // n_proc) if sharded_in else data_size) * n_micro
             gt = pad_to_multiple(np.asarray(batch["gt"], np.float32), pad_mult)
             ta = pad_to_multiple(
                 np.asarray(batch["text_alpha"], np.float32), pad_mult
@@ -536,6 +579,7 @@ def build_args_from_cfg(cfg: Dict[str, Any]) -> argparse.Namespace:
         ("max_grad_norm", "max_grad_norm", float),
         ("resume_from", "resume_from", str),
         ("shard_base_params", "shard_base_params", bool),
+        ("tensor_parallel", "tensor_parallel", int),
         ("weight_quant", "weight_quant", str),
         ("handle_preemption", "handle_preemption", bool),
         ("seed", "seed", int),

@@ -344,6 +344,31 @@ def test_lora_train_with_fsdp_base(pretrained_dir, data_root, tmp_path):
     assert abs(m_fsdp["train/loss"] - m_rep["train/loss"]) < 1e-3
 
 
+def test_lora_train_with_tensor_parallel_base(pretrained_dir, data_root, tmp_path):
+    """training.tensor_parallel: Megatron-sharded frozen base over a
+    (data, model) mesh trains identically to the replicated run (the specs
+    are pinned at grads level in test_dp_tp_training; this drives the full
+    config surface: YAML -> stage -> sharded step -> peft save)."""
+    cfg = _cfg(pretrained_dir, data_root, tmp_path / "rep", max_train_steps=1)
+    m_rep = train_from_config(cfg)
+
+    cfg2 = _cfg(pretrained_dir, data_root, tmp_path / "tp", max_train_steps=1)
+    cfg2["training"]["tensor_parallel"] = 2
+    m_tp = train_from_config(cfg2)
+
+    assert np.isfinite(m_tp["train/loss"])
+    assert abs(m_tp["train/loss"] - m_rep["train/loss"]) < 1e-3
+    final = tmp_path / "tp" / "ckpts" / "final"
+    assert (final / "pytorch_lora_weights.safetensors").exists()
+
+    # tp + FSDP on the same base is a config error, not a silent pick
+    cfg3 = _cfg(pretrained_dir, data_root, tmp_path / "bad", max_train_steps=1)
+    cfg3["training"]["tensor_parallel"] = 2
+    cfg3["training"]["shard_base_params"] = True
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        train_from_config(cfg3)
+
+
 def test_lora_train_qlora_int8_base(pretrained_dir, data_root, tmp_path):
     """QLoRA-style: frozen base in weight-only int8, fp32 adapters train.
 
