@@ -13,6 +13,7 @@ from ragb_vae_tpu.parallel.mesh import (
     create_dp_tp_mesh,
     create_hybrid_mesh,
     create_mesh,
+    create_training_mesh,
     pad_batch_to_mesh,
     slice_groups,
     put_global_batch,
@@ -40,6 +41,7 @@ __all__ = [
     "create_dp_tp_mesh",
     "create_hybrid_mesh",
     "create_mesh",
+    "create_training_mesh",
     "slice_groups",
     "pad_batch_to_mesh",
     "replicated",

@@ -155,6 +155,54 @@ def create_hybrid_mesh(
     return Mesh(full, tuple(axis_names))
 
 
+def create_training_mesh(
+    tp: int = 1,
+    sp: int = 1,
+    *,
+    devices: Optional[Sequence[jax.Device]] = None,
+    slice_key=None,
+) -> Mesh:
+    """Data(+model)(+sp) mesh with the model/sp axes pinned inside a slice.
+
+    Axes are ("data"[, "model"][, "sp"]) — the extra axes appear only when
+    tp/sp > 1 so 1-D callers see the familiar data mesh. Data parallelism
+    spans slices (DCN carries only the once-per-step gradient reduction)
+    while the per-layer Megatron all-reduces (model) and the attention
+    k/v all-gathers (sp) stay on ICI. Degenerates to a plain reshape on
+    one slice.
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    n = len(devs)
+    inner = [("model", tp), ("sp", sp)]
+    for name, ways in inner:
+        if ways < 1:
+            raise ValueError(f"{name} ways must be >= 1, got {ways}")
+    per_dev = tp * sp
+    if n % per_dev:
+        raise ValueError(
+            f"tensor_parallel={tp} x sequence_parallel={sp} must divide "
+            f"{n} devices"
+        )
+    axis_names = (DATA_AXIS,) + tuple(name for name, ways in inner if ways > 1)
+    inner_shape = tuple(ways for _, ways in inner if ways > 1)
+    groups = slice_groups(devs, slice_key=slice_key)
+    per_slice = len(groups[0])
+    if len(groups) == 1:
+        return create_mesh((n // per_dev,) + inner_shape, axis_names, devices=devs)
+    if per_slice % per_dev:
+        raise ValueError(
+            f"tensor_parallel={tp} x sequence_parallel={sp} must divide the "
+            f"{per_slice} devices of one slice (model/sp axes cannot span DCN)"
+        )
+    return create_hybrid_mesh(
+        axis_names,
+        ici_shape=(per_slice // per_dev,) + inner_shape,
+        dcn_shape=(len(groups),) + (1,) * len(inner_shape),
+        devices=devs,
+        slice_key=slice_key,
+    )
+
+
 def create_dp_tp_mesh(
     tp: int,
     *,
@@ -164,26 +212,22 @@ def create_dp_tp_mesh(
 ) -> Mesh:
     """("data", "model") mesh with the model axis pinned inside a slice.
 
-    Data parallelism spans slices (DCN carries only the once-per-step
-    gradient reduction) while the per-layer Megatron all-reduces on the
-    model axis stay on ICI. Degenerates to a plain reshape on one slice.
+    Thin wrapper over `create_training_mesh(tp=tp)` kept for callers that
+    want the two-axis serving layout; tp=1 still yields both axes here
+    (the general builder drops size-1 axes instead).
     """
     devs = list(devices) if devices is not None else jax.devices()
     n = len(devs)
     if tp < 1 or n % tp:
         raise ValueError(f"tensor_parallel={tp} must divide {n} devices")
+    if tp > 1:
+        return create_training_mesh(tp=tp, devices=devs, slice_key=slice_key)
     groups = slice_groups(devs, slice_key=slice_key)
-    per_slice = len(groups[0])
     if len(groups) == 1:
         return create_mesh((n // tp, tp), axis_names, devices=devs)
-    if per_slice % tp:
-        raise ValueError(
-            f"tensor_parallel={tp} must divide the {per_slice} devices of "
-            "one slice (the model axis cannot span DCN)"
-        )
     return create_hybrid_mesh(
         axis_names,
-        ici_shape=(per_slice // tp, tp),
+        ici_shape=(len(groups[0]), 1),
         dcn_shape=(len(groups), 1),
         devices=devs,
         slice_key=slice_key,
@@ -212,6 +256,44 @@ def shard_batch(arrays, mesh: Mesh, axis: str = DATA_AXIS):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), arrays)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _assert_process_contiguous_rows(sharding, n_rows: int) -> None:
+    """Fail loudly if this process's batch rows are not the contiguous
+    range [p*per, (p+1)*per) of the global batch.
+
+    `make_array_from_process_local_data` maps a process's addressable
+    global slices IN GLOBAL ORDER onto the local data, so a
+    non-contiguous data-axis layout (possible with exotic device orders,
+    e.g. topology-reordered hybrid meshes) would silently permute the
+    global batch. Training loss is permutation-invariant so that would
+    be a SILENT mismatch only between per-sample outputs and host-side
+    sample names (validation dumps) — raise instead.
+    """
+    p = jax.process_index()
+    rows = set()
+    for dev, idx in sharding.devices_indices_map((n_rows,)).items():
+        if dev.process_index != p:
+            continue
+        sl = idx[0]
+        start = 0 if sl.start is None else sl.start
+        stop = n_rows if sl.stop is None else sl.stop
+        rows.update(range(start, stop))
+    per = n_rows // jax.process_count()
+    expect = set(range(p * per, (p + 1) * per))
+    if rows != expect:
+        raise ValueError(
+            f"process {p}'s devices own global batch rows {sorted(rows)}, "
+            f"not the contiguous [{p * per}, {(p + 1) * per}) the sharded "
+            "loader produced — this mesh's data-axis device order is not "
+            "process-contiguous; build the mesh with parallel.create_mesh/"
+            "create_hybrid_mesh (id-order assembly) or feed an is_global "
+            "batch"
+        )
+
+
 def put_global_batch(array, sharding, *, is_global: bool = False):
     """Place a data-parallel input batch on a (possibly multi-host) mesh.
 
@@ -229,6 +311,8 @@ def put_global_batch(array, sharding, *, is_global: bool = False):
     """
     if jax.process_count() == 1:
         return jax.device_put(array, sharding)
+    n_global = array.shape[0] * (1 if is_global else jax.process_count())
+    _assert_process_contiguous_rows(sharding, n_global)
     if is_global:
         if array.shape[0] % jax.process_count():
             raise ValueError(

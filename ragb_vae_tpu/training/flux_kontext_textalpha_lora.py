@@ -128,6 +128,15 @@ def parse_args(args: Optional[List[str]] = None, *, allow_missing: bool = False)
              "(parallel.create_dp_tp_mesh). Mutually exclusive with "
              "--shard_base_params.",
     )
+    parser.add_argument(
+        "--sequence_parallel", type=int, default=1,
+        help="Sequence parallelism: the packed cond+target token streams "
+             "shard over an `sp` mesh axis; attention keeps q local and "
+             "all-gathers k/v inside its shard_map (exact numerics, "
+             "tests/test_sequence_parallel.py). Composes with "
+             "--tensor_parallel on a (data, model, sp) mesh. Like tp, the "
+             "sp axis stays inside a slice on multi-slice pods.",
+    )
     return parser.parse_args(args=args)
 
 
@@ -146,16 +155,17 @@ def _save_pair(gt: np.ndarray, pred: np.ndarray, path: Path) -> None:
 
 def train(args: argparse.Namespace) -> Dict[str, float]:
     tp = max(1, int(getattr(args, "tensor_parallel", 1) or 1))
+    sp = max(1, int(getattr(args, "sequence_parallel", 1) or 1))
     if tp > 1 and getattr(args, "shard_base_params", False):
         raise ValueError(
             "tensor_parallel and shard_base_params are mutually exclusive "
             "(Megatron model-axis sharding vs FSDP data-axis sharding of "
             "the same frozen base)"
         )
-    if tp > 1:
-        from ragb_vae_tpu.parallel import create_dp_tp_mesh
+    if tp > 1 or sp > 1:
+        from ragb_vae_tpu.parallel import create_training_mesh
 
-        mesh = create_dp_tp_mesh(tp)
+        mesh = create_training_mesh(tp=tp, sp=sp)
     else:
         mesh = create_mesh()
     n_devices = mesh.devices.size
@@ -306,7 +316,7 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
     print(
         f"[Batch] per_device={args.batch_size} grad_accum={n_micro} "
         f"devices={n_devices} data_parallel={data_size} tensor_parallel={tp} "
-        f"effective_per_step={effective}"
+        f"sequence_parallel={sp} effective_per_step={effective}"
     )
     print(f"[Train] {len(train_ds)} samples across {len(train_ds.bucket_to_indices)} buckets.")
     print(f"[Val]   {len(val_ds)} samples." if val_ds is not None else "[Val]   (disabled: no val_split provided)")
@@ -580,6 +590,7 @@ def build_args_from_cfg(cfg: Dict[str, Any]) -> argparse.Namespace:
         ("resume_from", "resume_from", str),
         ("shard_base_params", "shard_base_params", bool),
         ("tensor_parallel", "tensor_parallel", int),
+        ("sequence_parallel", "sequence_parallel", int),
         ("weight_quant", "weight_quant", str),
         ("handle_preemption", "handle_preemption", bool),
         ("seed", "seed", int),

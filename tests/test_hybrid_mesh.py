@@ -105,6 +105,27 @@ def test_dp_tp_mesh_fake_slices_pins_model_inside():
         create_dp_tp_mesh(4, slice_key=FAKE4)
 
 
+def test_create_training_mesh_axes_and_layout():
+    from ragb_vae_tpu.parallel import create_training_mesh
+
+    # 1-D degenerate: no extra axes appear
+    assert dict(create_training_mesh().shape) == {"data": 8}
+    # 3D single-slice: (data=2, model=2, sp=2)
+    mesh = create_training_mesh(tp=2, sp=2)
+    assert dict(mesh.shape) == {"data": 2, "model": 2, "sp": 2}
+    assert sorted(d.id for d in mesh.devices.ravel()) == list(range(8))
+    # fake slices: model AND sp stay inside one slice, data crosses
+    mesh = create_training_mesh(tp=2, sp=2, slice_key=FAKE2)
+    grid = mesh.devices
+    for r in range(grid.shape[0]):
+        assert len({_slice_of(d) for d in grid[r].ravel()}) == 1
+    assert _slice_of(grid[0, 0, 0]) != _slice_of(grid[1, 0, 0])
+    with pytest.raises(ValueError, match="cannot span DCN"):
+        create_training_mesh(tp=2, sp=2, slice_key=FAKE4)
+    with pytest.raises(ValueError, match="must divide"):
+        create_training_mesh(tp=3)
+
+
 def test_dp_tp_lora_grads_match_on_hybrid_mesh():
     """Same single-device grads parity as test_dp_tp_training, but on the
     hybrid slice-blocked grid rather than the flat reshape — pins that the

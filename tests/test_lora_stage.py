@@ -368,6 +368,13 @@ def test_lora_train_with_tensor_parallel_base(pretrained_dir, data_root, tmp_pat
     with pytest.raises(ValueError, match="mutually exclusive"):
         train_from_config(cfg3)
 
+    # composed tp x sp: (data=2, model=2, sp=2) mesh, same loss
+    cfg4 = _cfg(pretrained_dir, data_root, tmp_path / "tpsp", max_train_steps=1)
+    cfg4["training"]["tensor_parallel"] = 2
+    cfg4["training"]["sequence_parallel"] = 2
+    m_tpsp = train_from_config(cfg4)
+    assert abs(m_tpsp["train/loss"] - m_rep["train/loss"]) < 1e-3
+
 
 def test_lora_train_qlora_int8_base(pretrained_dir, data_root, tmp_path):
     """QLoRA-style: frozen base in weight-only int8, fp32 adapters train.
