@@ -21,9 +21,74 @@ import numpy as np
 
 BASELINE_A100_IMG_PER_S = 8.0
 
+# Last successful on-chip measurements, refreshed by every successful run
+# (emit() below). When the tunneled TPU is unreachable at bench time the
+# fallback prints the cached value with an explicit "stale" marker instead
+# of hanging in backend init (the axon PJRT client blocks forever when the
+# tunnel is down — outages of 12+ hours have been observed).
+LAST_BENCH_PATH = "benchmarks/last_bench.json"
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def emit(payload: dict) -> None:
+    """Print the one-line JSON result and cache it for the stale fallback."""
+    print(json.dumps(payload))
+    try:
+        from pathlib import Path
+
+        path = Path(__file__).resolve().parent / LAST_BENCH_PATH
+        cache = {}
+        if path.exists():
+            cache = json.loads(path.read_text())
+        cache[payload["metric"]] = dict(payload, measured_at=time.strftime("%Y-%m-%d"))
+        path.write_text(json.dumps(cache, indent=1) + "\n")
+    except Exception as exc:  # caching is best-effort
+        log(f"[bench] could not update {LAST_BENCH_PATH}: {exc}")
+
+
+def probe_backend(timeout_s: float = 120.0) -> bool:
+    """True iff jax backend init completes in a BOUNDED subprocess.
+
+    Run before any jax import in this process: when the axon tunnel is
+    down, `jax.devices()` hangs indefinitely and would take the whole
+    bench (and the driver's round-end run) with it.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def emit_stale(metric: str) -> None:
+    """Print the cached on-chip measurement, clearly marked stale."""
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent / LAST_BENCH_PATH
+    cache = json.loads(path.read_text()) if path.exists() else {}
+    entry = cache.get(metric)
+    if entry is None:
+        raise SystemExit(
+            f"TPU backend unreachable and no cached measurement for {metric}"
+        )
+    entry = dict(entry)
+    entry["stale"] = True
+    entry["note"] = (
+        "TPU tunnel down at bench time; value is the last on-chip "
+        f"measurement ({entry.get('measured_at', '?')}, see "
+        "benchmarks/results.md) — re-run when the tunnel returns"
+    )
+    log(f"[bench] TPU unreachable — emitting cached {metric} (stale)")
+    print(json.dumps(entry))
 
 
 def psnr_delta_mode(size: int, fused: bool = False) -> None:
@@ -76,15 +141,13 @@ def psnr_delta_mode(size: int, fused: bool = False) -> None:
     p_torch = psnr(np.clip(recon_torch, 0, 1), x)
     delta = abs(p_jax - p_torch)
     log(f"[bench] PSNR jax-bf16 {p_jax:.3f} dB, torch-fp32 {p_torch:.3f} dB")
-    print(
-        json.dumps(
-            {
-                "metric": f"recon_psnr_delta_vs_torch_{size}px",
-                "value": round(delta, 4),
-                "unit": "dB",
-                "vs_baseline": round(0.1 / max(delta, 1e-4), 3),
-            }
-        )
+    emit(
+        {
+            "metric": f"recon_psnr_delta_vs_torch_{size}px",
+            "value": round(delta, 4),
+            "unit": "dB",
+            "vs_baseline": round(0.1 / max(delta, 1e-4), 3),
+        }
     )
 
 
@@ -208,15 +271,13 @@ def train_step_mode(
         f"[bench] train step {height}x{width}px batch {batch} ({tag}){accum_tag}: "
         f"{dt/iters:.3f}s/step -> {rate:.3f} img/s"
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"rgba_vae_train_step_{height}x{width}px_bf16_{tag}",
-                "value": round(rate, 3),
-                "unit": "img/s/chip",
-                "vs_baseline": round(rate / 1.0, 3),  # no published baseline
-            }
-        )
+    emit(
+        {
+            "metric": f"rgba_vae_train_step_{height}x{width}px_bf16_{tag}",
+            "value": round(rate, 3),
+            "unit": "img/s/chip",
+            "vs_baseline": round(rate / 1.0, 3),  # no published baseline
+        }
     )
 
 
@@ -264,6 +325,20 @@ def main() -> None:
         "benchmarks/results.md); sliced remains best at batch 1.",
     )
     args = parser.parse_args()
+
+    if not probe_backend():
+        # Tunneled-TPU outage: emit the cached on-chip number (marked
+        # stale) instead of hanging the caller in jax backend init.
+        if args.metric == "psnr_delta":
+            metric = f"recon_psnr_delta_vs_torch_{min(args.size, 256)}px"
+        elif args.metric == "train_step":
+            h = args.height or args.size
+            tag = "nolpips" if args.no_lpips else "lpips"
+            metric = f"rgba_vae_train_step_{h}x{args.size}px_bf16_{tag}"
+        else:
+            metric = f"rgba_vae_encode_decode_{args.size}px_bf16"
+        emit_stale(metric)
+        return
 
     if args.metric == "psnr_delta":
         psnr_delta_mode(min(args.size, 256), fused=not args.no_fused)
@@ -345,15 +420,13 @@ def main() -> None:
         raise SystemExit("bench failed at every batch size")
 
     log(f"[bench] batch {used_batch}, {args.iters} iters -> {value:.3f} img/s")
-    print(
-        json.dumps(
-            {
-                "metric": f"rgba_vae_encode_decode_{args.size}px_bf16",
-                "value": round(value, 3),
-                "unit": "img/s/chip",
-                "vs_baseline": round(value / BASELINE_A100_IMG_PER_S, 3),
-            }
-        )
+    emit(
+        {
+            "metric": f"rgba_vae_encode_decode_{args.size}px_bf16",
+            "value": round(value, 3),
+            "unit": "img/s/chip",
+            "vs_baseline": round(value / BASELINE_A100_IMG_PER_S, 3),
+        }
     )
 
 
