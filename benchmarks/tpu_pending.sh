@@ -27,3 +27,8 @@ timeout 1800 python bench.py --metric train_step
 #        results.md "Training envelope")?
 timeout 1800 python bench.py --metric train_step --size 512 --batches 4 --grad-accum 2 --optimizer-offload
 timeout 1800 python bench.py --metric train_step --size 1024 --batches 2 --optimizer-offload
+
+# 6. Trained-weights numerics (VERDICT r2 weak #4): 300 real train steps on
+#    structured synthetic RGBA, then fused-bf16 vs torch-fp32 PSNR delta
+#    through the trained weights (target <= 0.1 dB)
+timeout 3600 python benchmarks/trained_psnr.py --steps 300 --size 256 --batch 2
