@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -33,9 +34,18 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+# set by main() from the probed platform: only true on-chip runs may
+# refresh the "last on-chip measurement" cache (a CPU run writing it would
+# later be replayed by the stale fallback as TPU data)
+CACHE_RESULTS = True
+
+
 def emit(payload: dict) -> None:
     """Print the one-line JSON result and cache it for the stale fallback."""
     print(json.dumps(payload))
+    if not CACHE_RESULTS:
+        log("[bench] non-TPU backend — not refreshing the on-chip cache")
+        return
     try:
         from pathlib import Path
 
@@ -49,24 +59,29 @@ def emit(payload: dict) -> None:
         log(f"[bench] could not update {LAST_BENCH_PATH}: {exc}")
 
 
-def probe_backend(timeout_s: float = 120.0) -> bool:
-    """True iff jax backend init completes in a BOUNDED subprocess.
+def probe_backend(timeout_s: float = 120.0) -> str:
+    """Backend platform name ("tpu", "cpu", ...) or "" if unreachable.
 
-    Run before any jax import in this process: when the axon tunnel is
-    down, `jax.devices()` hangs indefinitely and would take the whole
-    bench (and the driver's round-end run) with it.
+    Probed in a BOUNDED subprocess before any jax import in this process:
+    when the axon tunnel is down, `jax.devices()` hangs indefinitely and
+    would take the whole bench (and the driver's round-end run) with it.
+    The platform matters, not just liveness — a silent CPU fallback must
+    not masquerade as an on-chip measurement.
     """
     import subprocess
 
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
             timeout=timeout_s,
             capture_output=True,
+            text=True,
         )
-        return r.returncode == 0
     except subprocess.TimeoutExpired:
-        return False
+        return ""
+    if r.returncode != 0 or not r.stdout.strip():
+        return ""
+    return r.stdout.strip().splitlines()[-1]
 
 
 def emit_stale(metric: str) -> None:
@@ -326,9 +341,16 @@ def main() -> None:
     )
     args = parser.parse_args()
 
-    if not probe_backend():
-        # Tunneled-TPU outage: emit the cached on-chip number (marked
-        # stale) instead of hanging the caller in jax backend init.
+    global CACHE_RESULTS
+    platform = probe_backend()
+    CACHE_RESULTS = platform == "tpu"
+    allow_cpu = os.environ.get("RAGB_BENCH_ALLOW_CPU") == "1"
+    if not platform or (platform != "tpu" and not allow_cpu):
+        # Tunneled-TPU outage (or a silent CPU fallback): emit the cached
+        # on-chip number (marked stale) instead of hanging the caller in
+        # jax backend init / measuring the wrong hardware. Set
+        # RAGB_BENCH_ALLOW_CPU=1 to run the measurement loop on CPU anyway
+        # (smoke-testing; the on-chip cache is still not refreshed).
         if args.metric == "psnr_delta":
             metric = f"recon_psnr_delta_vs_torch_{min(args.size, 256)}px"
         elif args.metric == "train_step":

@@ -18,8 +18,10 @@ timeout 2400 python benchmarks/full_scale_smoke.py --size 512 --steps 1
 timeout 3600 python benchmarks/sample_bench.py --blocks full --quant int8 --batches 1
 
 # 4. Regression check of the round-2/3 headline + training metrics
+#    (train_step needs the 512^2 b4 accum-2 operating point explicitly:
+#    its defaults inherit --size 1024 --batches 12, which OOMs a 16 GB v5e)
 timeout 1800 python bench.py
-timeout 1800 python bench.py --metric train_step
+timeout 1800 python bench.py --metric train_step --size 512 --batches 4 --grad-accum 2
 
 # 5. Optimizer-state host offload (training.optimizer_offload):
 #    (a) overhead at the 512^2 b4 accum-2 operating point,

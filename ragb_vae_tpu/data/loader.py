@@ -194,10 +194,19 @@ class DataLoader:
             except BaseException as exc:  # propagate into the consumer
                 error_holder.append(exc)
             finally:
-                try:
-                    q.put_nowait(sentinel)
-                except queue.Full:
-                    pass  # consumer is gone and draining; stop is set
+                # The sentinel must be DELIVERED, not attempted: at normal
+                # epoch end the queue is typically full (consumer alive,
+                # mid-step, slower than decode) and a put_nowait would drop
+                # it, hanging the consumer in q.get() forever — and losing
+                # any producer exception with it. Block with the same
+                # stop-aware loop as items; stop means the consumer exited
+                # early and is draining, so the sentinel is moot.
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -86,17 +86,14 @@ def run(args: argparse.Namespace) -> None:
                 args.lora_alpha = int(alpha)
             print(f"Loaded LoRA metadata: rank={args.rank} alpha={args.lora_alpha}")
 
-    if args.tp > 1 and args.pp > 1:
-        raise SystemExit("--tp and --pp are mutually exclusive.")
-    mesh = None
-    if args.tp > 1:
-        from jax.sharding import Mesh
-        import numpy as _np
+    from ragb_vae_tpu.parallel.bootstrap import (
+        build_pipelined_transformer,
+        build_tp_mesh,
+        validate_tp_pp,
+    )
 
-        devices = jax.devices()
-        if len(devices) < args.tp:
-            raise SystemExit(f"--tp {args.tp} needs {args.tp} devices, found {len(devices)}.")
-        mesh = Mesh(_np.array(devices[: args.tp]), ("model",))
+    validate_tp_pp(args.tp, args.pp)
+    mesh = build_tp_mesh(args.tp)
 
     model, t_params, vae_params = FluxTextAlphaModel.from_pretrained(
         args.pretrained_model_name_or_path,
@@ -119,17 +116,10 @@ def run(args: argparse.Namespace) -> None:
         model.vae.enable_slicing()
 
     if args.pp > 1:
-        from ragb_vae_tpu.parallel.pipeline import (
-            PipelinedFluxTransformer,
-            pipelined_sample,
-        )
+        from ragb_vae_tpu.parallel.pipeline import pipelined_sample
 
-        devices = jax.devices()
-        if len(devices) < args.pp:
-            raise SystemExit(f"--pp {args.pp} needs {args.pp} devices, found {len(devices)}.")
-        pipe = PipelinedFluxTransformer(
-            model.transformer_config, devices=devices[: args.pp],
-            dtype=dtype, weight_quant=args.quant,
+        pipe = build_pipelined_transformer(
+            model, args.pp, dtype=dtype, weight_quant=args.quant,
             lora_rank=args.rank if args.lora_path else 0,
             lora_alpha=float(args.lora_alpha),
         )
@@ -180,6 +170,10 @@ def run(args: argparse.Namespace) -> None:
         arr = load_rgba(path)
         by_size.setdefault(arr.shape[:2], []).append((path, arr))
     done = 0
+    # dedup across the WHOLE run: same-stem inputs land in different chunks
+    # (different sizes, or more than batch_size of them), and a per-chunk
+    # list would let the later one silently overwrite the earlier output
+    used: set = set()
     for size, items in sorted(by_size.items()):
         for start in range(0, len(items), max(1, args.batch_size)):
             chunk = items[start : start + max(1, args.batch_size)]
@@ -190,9 +184,10 @@ def run(args: argparse.Namespace) -> None:
             for path, _ in chunk:
                 out = out_dir / (Path(path).stem + "_text_alpha.png")
                 n = 1
-                while out in outs:  # same stem from different input dirs
+                while out in used:  # same stem from different input dirs
                     out = out_dir / (Path(path).stem + f"_text_alpha_{n}.png")
                     n += 1
+                used.add(out)
                 outs.append(out)
             from ragb_vae_tpu.data import native_io
 

@@ -26,6 +26,7 @@ FluxTransformer2D.apply (tests/test_pipeline_parallel.py).
 """
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
@@ -249,8 +250,13 @@ class PipelinedFluxTransformer:
         ]
         # loop-invariant small tensors (pooled/ids/guidance) are re-sent to
         # every stage on every microbatch of every denoising step otherwise;
-        # the cache holds a ref so id() stays valid for its lifetime
-        self._const_cache: dict = {}
+        # the cache holds a ref so id() stays valid for its lifetime.
+        # Bounded LRU: each serving request creates FRESH pooled/ids arrays,
+        # so an unbounded id()-keyed cache grows (host ref + one device copy
+        # per stage) per request for the daemon's lifetime. A sampling call
+        # touches ~4 distinct constants; 64 entries is generous headroom.
+        self._const_cache: "OrderedDict" = OrderedDict()
+        self._const_cache_cap = 64
         self._fns = [
             jax.jit((lambda stage: lambda p, *a: stage.apply({"params": p}, *a))(stage))
             for stage in self.stages
@@ -261,10 +267,14 @@ class PipelinedFluxTransformer:
         if entry is None or entry[0] is not arr:
             entry = (arr, {})
             self._const_cache[id(arr)] = entry
+        else:
+            self._const_cache.move_to_end(id(arr))
         placed = entry[1].get(dev)
         if placed is None:
             placed = jax.device_put(arr, dev)
             entry[1][dev] = placed
+        while len(self._const_cache) > self._const_cache_cap:
+            self._const_cache.popitem(last=False)
         return placed
 
     def place_params(self, params: PyTree) -> List[PyTree]:

@@ -169,11 +169,16 @@ class InferenceServer:
         self._thread: Optional[threading.Thread] = None
         self._served = 0
         self._batches = 0
+        self._inflight = 0
         self._lat_sum = 0.0
         self._lat_max = 0.0
         self._pipe = pipeline
         if pipeline is not None:
-            self.t_params = t_params
+            # the staged per-device copies are the only params the PP
+            # paths read; retaining the unsharded tree too would pin an
+            # extra full model (~22 GiB bf16 at FLUX.1 scale) for the
+            # daemon's lifetime
+            self.t_params = None
             self._stage_params = pipeline.place_params(t_params)
             self._prep = jax.jit(self._build_prep())
             self._decode = jax.jit(self._build_decode())
@@ -376,6 +381,11 @@ class InferenceServer:
         self._wake.set()
         if self._thread is not None:
             self._thread.join(timeout=30.0)
+            if self._thread.is_alive():
+                # mid-_launch on a minutes-long compile/sample: leave the
+                # handle in place so a later start() cannot spawn a second
+                # concurrent batcher over the same queues
+                return
             self._thread = None
 
     def drain(self, timeout: Optional[float] = None) -> bool:
@@ -393,7 +403,12 @@ class InferenceServer:
         deadline = time.monotonic() + timeout
         clean = False
         while time.monotonic() < deadline:
-            if self.stats["pending"] == 0:
+            # in-flight counts: a batch the batcher has already _take()n is
+            # invisible to the queues but its futures are unresolved — a
+            # stop() while it computes would exit with answers computed but
+            # never delivered, breaking the "answers everything accepted"
+            # contract
+            if self.stats["pending"] == 0 and self._inflight == 0:
                 clean = True
                 break
             time.sleep(0.05)
@@ -441,12 +456,15 @@ class InferenceServer:
             reqs = live
             if not reqs:
                 continue
+            self._inflight = len(reqs)  # visible to drain(): taken != done
             try:
                 self._launch(reqs)
             except Exception as exc:  # surface failures on the futures
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(exc)
+            finally:
+                self._inflight = 0
         # drain: fail anything still queued
         with self._queues_lock:
             queues = list(self._queues.values())
@@ -533,6 +551,12 @@ class InferenceServer:
         done = time.monotonic()
         self._batches += 1
         for r, pred in zip(reqs, out[:n]):
+            if r.future.done():
+                # raced stop()/expiry already failed this future; a bare
+                # set_result would raise InvalidStateError here and the
+                # _run except-path would then fail every innocent
+                # co-batched request's computed result along with it
+                continue
             r.future.set_result(resize_rgba(pred, r.orig_size))
             self._served += 1
             lat = done - r.enqueued

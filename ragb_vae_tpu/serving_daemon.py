@@ -82,20 +82,15 @@ def build_server(args) -> "InferenceServer":
     )
     from ragb_vae_tpu.serving import InferenceServer, ServeConfig
 
-    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
-    if args.tp > 1 and args.pp > 1:
-        raise SystemExit("--tp and --pp are mutually exclusive.")
-    mesh = None
-    if args.tp > 1:
-        from jax.sharding import Mesh
-        import numpy as _np
+    from ragb_vae_tpu.parallel.bootstrap import (
+        build_pipelined_transformer,
+        build_tp_mesh,
+        validate_tp_pp,
+    )
 
-        devices = jax.devices()
-        if len(devices) < args.tp:
-            raise SystemExit(
-                f"--tp {args.tp} needs {args.tp} devices, found {len(devices)}."
-            )
-        mesh = Mesh(_np.array(devices[: args.tp]), ("model",))
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    validate_tp_pp(args.tp, args.pp)
+    mesh = build_tp_mesh(args.tp)
     if args.lora_path:
         meta = read_lora_metadata(args.lora_path)
         if meta:
@@ -120,19 +115,11 @@ def build_server(args) -> "InferenceServer":
     cfg = ServeConfig(
         max_batch=args.max_batch, max_delay_ms=args.max_delay_ms, steps=args.steps
     )
-    pipeline = None
-    if args.pp > 1:
-        from ragb_vae_tpu.parallel.pipeline import PipelinedFluxTransformer
-
-        devices = jax.devices()
-        if len(devices) < args.pp:
-            raise SystemExit(f"--pp {args.pp} needs {args.pp} devices, found {len(devices)}.")
-        pipeline = PipelinedFluxTransformer(
-            model.transformer_config, devices=devices[: args.pp], dtype=dtype,
-            weight_quant=args.quant,
-            lora_rank=args.rank if args.lora_path else 0,
-            lora_alpha=float(args.lora_alpha),
-        )
+    pipeline = build_pipelined_transformer(
+        model, args.pp, dtype=dtype, weight_quant=args.quant,
+        lora_rank=args.rank if args.lora_path else 0,
+        lora_alpha=float(args.lora_alpha),
+    )
     return InferenceServer(model, t_params, vae_params, cfg, mesh=mesh, pipeline=pipeline)
 
 

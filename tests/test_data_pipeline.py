@@ -1,4 +1,6 @@
 """Data pipeline: manifests, datasets, sampler, loader, transforms."""
+import threading
+import time
 from pathlib import Path
 
 import numpy as np
@@ -203,6 +205,64 @@ def test_dataloader_propagates_worker_errors(trees):
 def test_dataloader_validates_args(trees):
     with pytest.raises(ValueError):
         DataLoader(object())  # neither batch_size nor batch_sampler
+
+
+class _Tiny:
+    """12 items -> 6 batches of 2 (enough to outpace a slow consumer)."""
+
+    def __len__(self):
+        return 12
+
+    def __getitem__(self, i):
+        return {"x": np.full((2, 2, 1), float(i), np.float32)}
+
+
+def _consume_slowly(dl, out):
+    for batch in dl:
+        time.sleep(0.05)  # consumer slower than decode: queue stays FULL
+        out.append(batch)
+
+
+def test_dataloader_slow_consumer_epoch_terminates():
+    """Regression: with the prefetch queue full at producer exit, the
+    end-of-stream sentinel used to be dropped (put_nowait -> queue.Full),
+    hanging the consumer in q.get() forever at normal epoch end."""
+    dl = DataLoader(_Tiny(), batch_size=2, prefetch_batches=2)
+    out: list = []
+    t = threading.Thread(target=_consume_slowly, args=(dl, out), daemon=True)
+    t.start()
+    t.join(timeout=30.0)
+    assert not t.is_alive(), "epoch never terminated (sentinel lost)"
+    assert len(out) == 6
+
+
+def test_dataloader_error_delivered_through_full_queue():
+    """Producer exceptions must surface even when the queue is full."""
+
+    class BreaksLate:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i >= 6:
+                raise RuntimeError("late boom")
+            return {"x": np.zeros((2, 2, 1), np.float32)}
+
+    dl = DataLoader(BreaksLate(), batch_size=2, prefetch_batches=1)
+    holder: list = []
+
+    def run():
+        try:
+            for _ in dl:
+                time.sleep(0.05)
+        except BaseException as exc:  # noqa: BLE001 - capture for assert
+            holder.append(exc)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=30.0)
+    assert not t.is_alive(), "consumer hung instead of raising"
+    assert holder and "late boom" in str(holder[0])
 
 
 def test_text_alpha_dataset(trees):

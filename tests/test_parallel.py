@@ -164,3 +164,39 @@ def test_accumulated_grads_pad_invariance():
         loss_fn, params, {"x": x, "weights": w}, jax.random.PRNGKey(0), 2
     )
     assert abs(float(biased_loss) - float(ref_loss) / 2) < 1e-5
+
+
+# --- CLI parallelism bootstrap (shared by inference.run and the daemon) ----
+def test_bootstrap_validate_tp_pp():
+    from ragb_vae_tpu.parallel.bootstrap import validate_tp_pp
+
+    validate_tp_pp(1, 1)
+    validate_tp_pp(2, 1)
+    validate_tp_pp(1, 2)
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        validate_tp_pp(2, 2)
+
+
+def test_bootstrap_build_tp_mesh():
+    from ragb_vae_tpu.parallel.bootstrap import build_tp_mesh
+
+    assert build_tp_mesh(1) is None
+    mesh = build_tp_mesh(2)
+    assert mesh.axis_names == ("model",)
+    assert mesh.devices.size == 2
+    with pytest.raises(SystemExit, match="needs 99 devices"):
+        build_tp_mesh(99)
+
+
+def test_bootstrap_build_pipelined_transformer():
+    from ragb_vae_tpu.models.flux_transformer import FluxTransformerConfig
+    from ragb_vae_tpu.parallel.bootstrap import build_pipelined_transformer
+
+    class M:
+        transformer_config = FluxTransformerConfig.tiny()
+
+    assert build_pipelined_transformer(M(), 1, dtype=jnp.float32) is None
+    with pytest.raises(SystemExit, match="needs 99 devices"):
+        build_pipelined_transformer(M(), 99, dtype=jnp.float32)
+    pipe = build_pipelined_transformer(M(), 2, dtype=jnp.float32)
+    assert pipe.n_stages == 2
