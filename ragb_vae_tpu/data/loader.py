@@ -152,15 +152,32 @@ class DataLoader:
             # replace the Python-side pool for that path). Hand the pool's
             # map to the dataset so its per-item FALLBACK (native lib
             # unbuilt, mixed sizes, non-PNG) still decodes in parallel.
-            try:
+            # kwarg support is detected from the signature (cached), NOT by
+            # catching TypeError around the call: a TypeError raised inside
+            # item decoding (corrupt image) would be misread as "no map_fn
+            # kwarg" and silently re-decode the whole batch, losing the
+            # real error.
+            accepts_map_fn = getattr(self, "_getitems_accepts_map_fn", None)
+            if accepts_map_fn is None:
+                import inspect
+
+                try:
+                    params = inspect.signature(self.dataset.getitems).parameters
+                    accepts_map_fn = "map_fn" in params or any(
+                        p.kind is inspect.Parameter.VAR_KEYWORD
+                        for p in params.values()
+                    )
+                except (TypeError, ValueError):  # builtins without signatures
+                    accepts_map_fn = False
+                self._getitems_accepts_map_fn = accepts_map_fn
+            if accepts_map_fn:
                 items = list(
                     self.dataset.getitems(
                         batch_indices,
                         map_fn=self._pool.map if self._pool is not None else None,
                     )
                 )
-            except TypeError:
-                # getitems implementations without the map_fn kwarg
+            else:
                 items = list(self.dataset.getitems(batch_indices))
         elif self._pool is not None and len(batch_indices) > 1:
             items = list(self._pool.map(self.dataset.__getitem__, batch_indices))

@@ -99,7 +99,10 @@ def _pairwise_overlaps(eroded_masks: Dict[int, np.ndarray]) -> Dict[int, Set[int
 
 
 def find_unoverlapped_indices(
-    remaining: Sequence[int], eroded_masks: Dict[int, np.ndarray]
+    remaining: Sequence[int],
+    eroded_masks: Dict[int, np.ndarray],
+    *,
+    overlaps: Optional[Dict[int, Set[int]]] = None,
 ) -> List[int]:
     """Topmost-first pick of mutually non-overlapping components.
 
@@ -108,12 +111,22 @@ def find_unoverlapped_indices(
     already-accepted members; the result is returned in bottom-to-top
     (ascending `remaining`) order. Implemented on a precomputed pairwise
     overlap graph rather than an accumulated coverage bitmap.
+
+    `overlaps`: pass `_pairwise_overlaps(...)` computed ONCE per sample
+    (plan_peel_schedule does) — the graph is the expensive image-sized
+    part, and recomputing it per peel stage would be O(stages·k²) mask
+    ANDs. The disjointness check is unaffected by graph entries outside
+    `remaining` because accepted members always come from `remaining`.
     """
-    overlaps = _pairwise_overlaps(
-        {idx: eroded_masks[idx] for idx in remaining if idx in eroded_masks}
-    )
+    if overlaps is None:
+        overlaps = _pairwise_overlaps(
+            {idx: eroded_masks[idx] for idx in remaining if idx in eroded_masks}
+        )
+        candidates = sorted(overlaps, reverse=True)
+    else:
+        candidates = sorted((i for i in remaining if i in overlaps), reverse=True)
     group: List[int] = []
-    for idx in sorted(overlaps, reverse=True):
+    for idx in candidates:
         if overlaps[idx].isdisjoint(group):
             group.append(idx)
     return group[::-1]
@@ -138,10 +151,13 @@ def plan_peel_schedule(
     topmost-first non-overlapping group from what's left. Rendering is a
     separate pass — see `iterate_foreground_groups`.
     """
+    overlaps = _pairwise_overlaps(
+        {idx: eroded_masks[idx] for idx in order if idx in eroded_masks}
+    )
     schedule: List[List[int]] = []
     left = list(order)
     while left and (max_groups is None or len(schedule) < max_groups):
-        group = find_unoverlapped_indices(left, eroded_masks)
+        group = find_unoverlapped_indices(left, eroded_masks, overlaps=overlaps)
         if not group:
             break
         schedule.append(group)

@@ -458,16 +458,22 @@ def attention(
         )
         return out.reshape(q4.shape)
 
-    # shrink blocks for short sequences (still >= the bf16 sublane tile)
-    bq = min(block_q, max(128, 1 << math.ceil(math.log2(max(s, 1)))))
-    bk = min(block_k, bq)
-
     def flash_4d(q4, k4, v4):
         bb, hh = q4.shape[0], q4.shape[1]
+        # shrink blocks for short sequences (still >= the bf16 sublane
+        # tile), from the LOCAL shapes: under sequence parallelism this
+        # runs inside shard_map where q carries S/n_sp rows while k/v are
+        # all-gathered to full S — sizing block_q from the global S would
+        # pad every q shard up to n_sp x its real rows and waste the same
+        # factor in q-block GEMM work. For unsharded calls sq == sk and
+        # this reduces to the original formula (bk = min(block_k, bq)).
+        sq, sk = q4.shape[2], k4.shape[2]
+        bq = min(block_q, max(128, 1 << math.ceil(math.log2(max(sq, 1)))))
+        bk = min(block_k, max(128, 1 << math.ceil(math.log2(max(sk, 1)))))
         out = _flash_attention_3d(
-            q4.reshape(bb * hh, q4.shape[2], d),
-            k4.reshape(bb * hh, k4.shape[2], d),
-            v4.reshape(bb * hh, v4.shape[2], d),
+            q4.reshape(bb * hh, sq, d),
+            k4.reshape(bb * hh, sk, d),
+            v4.reshape(bb * hh, sk, d),
             sm_scale,
             bq,
             bk,

@@ -159,7 +159,12 @@ class InferenceServer:
         if mesh is not None and pipeline is not None:
             raise ValueError("mesh (TP) and pipeline (PP) are mutually exclusive.")
         self.model = model
-        self.vae_params = vae_params
+        # Param trees are committed to device ONCE per branch below:
+        # from_pretrained returns host numpy trees, and jit re-uploads
+        # non-device arguments on EVERY call — without the device_put,
+        # each served batch would re-transfer the full weight tree
+        # (~11.1 GiB for int8 FLUX.1) host-to-device, defeating the
+        # resident-process design.
         self.config = config or ServeConfig()
         self._queues: Dict[Tuple[int, int], "queue.Queue[_Request]"] = {}
         self._queues_lock = threading.Lock()
@@ -180,6 +185,7 @@ class InferenceServer:
             # daemon's lifetime
             self.t_params = None
             self._stage_params = pipeline.place_params(t_params)
+            self.vae_params = jax.device_put(vae_params)
             self._prep = jax.jit(self._build_prep())
             self._decode = jax.jit(self._build_decode())
             self._step = None
@@ -192,13 +198,15 @@ class InferenceServer:
 
             self.t_params, t_shardings = shard_transformer_params(t_params, mesh)
             rep = NamedSharding(mesh, P())
+            self.vae_params = jax.device_put(vae_params, rep)
             self._step = jax.jit(
                 self._build_step(),
                 in_shardings=(t_shardings, rep, rep, rep),
                 out_shardings=rep,
             )
         else:
-            self.t_params = t_params
+            self.t_params = jax.device_put(t_params)
+            self.vae_params = jax.device_put(vae_params)
             self._step = jax.jit(self._build_step())
 
     # -- jitted core ---------------------------------------------------
@@ -501,15 +509,20 @@ class InferenceServer:
                 deadlines.setdefault(b, now + max_delay)
 
             ready.sort(reverse=True, key=lambda t: t[0])
-            size, bucket, q = ready[0]
-            if size >= self.config.max_batch:
-                deadlines.pop(bucket, None)
-                return bucket, self._take(q, self.config.max_batch)
+            # expired deadlines FIRST: if a saturated bucket (always >=
+            # max_batch waiters) preempted them, a quiet bucket's requests
+            # would wait out the full future timeout instead of
+            # max_delay_ms — the per-bucket deadline must be a real bound
+            # even under sustained load elsewhere
             expired = [
                 (sz, b, qq) for sz, b, qq in ready if deadlines[b] <= now
             ]
             if expired:
                 _, bucket, q = max(expired, key=lambda t: t[0])
+                deadlines.pop(bucket, None)
+                return bucket, self._take(q, self.config.max_batch)
+            size, bucket, q = ready[0]
+            if size >= self.config.max_batch:
                 deadlines.pop(bucket, None)
                 return bucket, self._take(q, self.config.max_batch)
             self._wake.wait(timeout=max(min(deadlines.values()) - now, 1e-3))

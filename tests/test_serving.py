@@ -274,3 +274,50 @@ def test_serving_pipeline_parallel_matches(served_model):
             model, t_params, vae_params, _cfg(),
             mesh=Mesh(np.array(jax.devices()), ("model",)), pipeline=pipe,
         )
+
+
+def _bare_server(cfg: ServeConfig) -> InferenceServer:
+    """A queue/batcher-only InferenceServer (no model, no jit) for unit
+    tests of _collect's scheduling policy."""
+    import queue as _queue
+
+    srv = object.__new__(InferenceServer)
+    srv.config = cfg
+    srv._queues = {}
+    srv._queues_lock = threading.Lock()
+    srv._wake = threading.Event()
+    srv._stop = threading.Event()
+    return srv
+
+
+def test_collect_expired_bucket_preempts_saturated_one():
+    """A quiet bucket whose deadline expired must be served even while
+    another bucket is permanently full: max_delay_ms is a real per-bucket
+    latency bound (regression: the full-bucket fast path used to preempt
+    the expired check forever, starving the quiet bucket until its
+    futures timed out)."""
+    import queue as _queue
+
+    from ragb_vae_tpu.serving import _Request
+
+    srv = _bare_server(ServeConfig(max_batch=2, max_delay_ms=10_000.0))
+    img = np.zeros((8, 8, 4), np.float32)
+
+    busy = _queue.Queue()
+    quiet = _queue.Queue()
+    srv._queues[(512, 512)] = busy
+    srv._queues[(256, 256)] = quiet
+    for _ in range(2):  # saturated: >= max_batch waiters
+        busy.put(_Request(image=img, orig_size=(8, 8), seed=0))
+    quiet.put(_Request(image=img, orig_size=(8, 8), seed=0))
+
+    # backdate the quiet bucket's deadline: it has waited out max_delay
+    srv._bucket_deadlines = {(256, 256): 0.0}
+    bucket, reqs = srv._collect(srv.config.max_delay_ms / 1000.0)
+    assert bucket == (256, 256), "expired bucket starved by the full one"
+    assert len(reqs) == 1
+
+    # with no expiries left, the saturated bucket launches immediately
+    bucket, reqs = srv._collect(srv.config.max_delay_ms / 1000.0)
+    assert bucket == (512, 512)
+    assert len(reqs) == 2
