@@ -34,3 +34,8 @@ timeout 1800 python bench.py --metric train_step --size 1024 --batches 2 --optim
 #    structured synthetic RGBA, then fused-bf16 vs torch-fp32 PSNR delta
 #    through the trained weights (target <= 0.1 dB)
 timeout 3600 python benchmarks/trained_psnr.py --steps 300 --size 256 --batch 2
+
+# 7. Serving-daemon load bench: batcher throughput + latency percentiles
+#    (mid-size, then full-scale int8 — the single-chip serving headline)
+timeout 3600 python benchmarks/serving_bench.py --clients 8 --requests 32
+timeout 5400 python benchmarks/serving_bench.py --blocks full --quant int8 --clients 4 --requests 8
