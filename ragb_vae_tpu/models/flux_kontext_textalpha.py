@@ -344,8 +344,13 @@ class FluxTextAlphaModel:
         return merge_params(base_params, lora)
 
     def lora_state_dict(self, params: PyTree) -> Dict[str, np.ndarray]:
-        _, lora = split_lora_params(jax.device_get(params))
-        return lora_params_to_peft_state(lora)
+        # split FIRST, then fetch: device_get on the merged tree would copy
+        # the whole frozen base (~22 GB bf16 at FLUX.1 scale) to host just
+        # to discard it, and crashes outright when the base is FSDP/TP
+        # sharded (non-addressable shards); the adapters are replicated and
+        # tiny, so fetching only them is both safe and fast
+        _, lora = split_lora_params(params)
+        return lora_params_to_peft_state(jax.device_get(lora))
 
     def save_lora_weights(self, params: PyTree, output_dir: Union[str, Path]) -> None:
         """peft/FluxPipeline-compatible safetensors export."""

@@ -121,6 +121,17 @@ class FlowMatchEulerScheduler:
         works with traced arrays and integer step_index."""
         import jax.numpy as jnp
 
+        if self.num_inference_steps is None:
+            # the __init__ schedule carries no trailing sigma=0 (diffusers
+            # appends it in set_timesteps); stepping it to the end would
+            # gather sigmas[len] which XLA CLAMPS, silently turning the
+            # final Euler update into a no-op and leaving ~1/N residual
+            # noise. Require the inference schedule, like diffusers.
+            raise ValueError(
+                "Call set_timesteps(num_inference_steps, ...) before "
+                "step(): the training-side __init__ schedule has no "
+                "trailing sigma=0 to step onto."
+            )
         sigmas = jnp.asarray(self.sigmas, dtype=jnp.float32)
         sigma = sigmas[step_index]
         sigma_next = sigmas[step_index + 1]

@@ -358,28 +358,6 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
-def _chunked_attention(q: Array, k: Array, v: Array, chunk: int = 4096) -> Array:
-    """Exact single-head attention, scanned over query chunks.
-
-    q, k, v: (B, N, C). Softmax over the full key axis per query chunk, so
-    results are bit-identical to unchunked attention while peak memory is
-    O(chunk * N) instead of O(N^2).
-    """
-    b, n, c = q.shape
-    scale = 1.0 / jnp.sqrt(jnp.asarray(c, dtype=jnp.float32))
-
-    def one_chunk(q_blk: Array) -> Array:
-        logits = jnp.einsum("bqc,bkc->bqk", q_blk.astype(jnp.float32), k.astype(jnp.float32))
-        weights = jax.nn.softmax(logits * scale, axis=-1).astype(v.dtype)
-        return jnp.einsum("bqk,bkc->bqc", weights, v)
-
-    if n <= chunk or n % chunk != 0:
-        return one_chunk(q)
-    q_blocks = q.reshape(b, n // chunk, chunk, c).transpose(1, 0, 2, 3)
-    out = jax.lax.map(one_chunk, q_blocks)
-    return out.transpose(1, 0, 2, 3).reshape(b, n, c)
-
-
 class SpatialAttention(nn.Module):
     """Single-head spatial self-attention of the VAE mid block.
 

@@ -422,8 +422,8 @@ def attention(
 ) -> Array:
     """(B, H, S, D) attention; flash kernel on TPU, chunked XLA elsewhere.
 
-    Drop-in for `flux_transformer.default_attention` /
-    `vae._chunked_attention` call sites.
+    Drop-in for the `flux_transformer.default_attention` and
+    `vae.SpatialAttention` call sites (both route through here).
 
     Under GSPMD, Mosaic kernels cannot be auto-partitioned — pass `mesh`
     and the inner attention is wrapped in ONE shard_map over every mesh

@@ -140,6 +140,30 @@ def parse_args(args: Optional[List[str]] = None, *, allow_missing: bool = False)
     return parser.parse_args(args=args)
 
 
+def latest_complete_lora_checkpoint(root: Path) -> Optional[Path]:
+    """Newest COMMITTED checkpoint-N dir under `root`, or None.
+
+    save_lora writes weights -> metadata -> train_state.msgpack, so the
+    msgpack is the commit marker: a crash mid-save leaves a dir without
+    it, which `resume_from: auto` must skip — resuming warm adapters with
+    a fresh optimizer/step would silently restart the cosine schedule on
+    a half-written checkpoint.
+    """
+    if not root.exists():
+        return None
+
+    def _is_complete(p: Path) -> bool:
+        return (p / "pytorch_lora_weights.safetensors").exists() and (
+            p / "train_state.msgpack"
+        ).exists()
+
+    candidates = sorted(
+        (p for p in root.glob("checkpoint-*") if p.is_dir() and _is_complete(p)),
+        key=lambda p: int(p.name.rsplit("-", 1)[1]),
+    )
+    return candidates[-1] if candidates else None
+
+
 def _save_pair(gt: np.ndarray, pred: np.ndarray, path: Path) -> None:
     """GT|pred side-by-side RGBA PNG (reference _save_pair)."""
     from PIL import Image
@@ -257,8 +281,19 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
         process_shard=(jax.process_index(), n_proc) if n_proc > 1 else None,
     )
     val_dl = (
-        DataLoader(val_ds, batch_size=args.val_batch_size, shuffle=True,
-                   num_workers=min(4, args.num_workers), seed=args.seed)
+        DataLoader(
+            val_ds,
+            # bucket-pure batches: naive range batching would stack
+            # different-resolution samples whenever val_batch_size > 1
+            # and the val split spans more than one bucket
+            batch_sampler=BucketBatchSampler(
+                val_ds.bucket_to_indices,
+                batch_size=args.val_batch_size,
+                shuffle=True,
+                seed=args.seed,
+            ),
+            num_workers=min(4, args.num_workers),
+        )
         if val_ds is not None
         else None
     )
@@ -312,11 +347,16 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
         donate_argnums=(0, 1),
     )
 
-    effective = args.batch_size * n_micro * data_size
+    # one loader batch = one optimizer step here (grad_accum splits it,
+    # the data axis shards it) — the effective batch IS data.batch_size;
+    # see MIGRATING.md for the mapping from the reference's per-device
+    # accumulate() semantics
     print(
-        f"[Batch] per_device={args.batch_size} grad_accum={n_micro} "
-        f"devices={n_devices} data_parallel={data_size} tensor_parallel={tp} "
-        f"sequence_parallel={sp} effective_per_step={effective}"
+        f"[Batch] effective_per_step={args.batch_size} "
+        f"(grad_accum={n_micro} x data_parallel={data_size} -> "
+        f"{args.batch_size / max(n_micro * data_size, 1):g} rows per "
+        f"device-microbatch) devices={n_devices} tensor_parallel={tp} "
+        f"sequence_parallel={sp}"
     )
     print(f"[Train] {len(train_ds)} samples across {len(train_ds.bucket_to_indices)} buckets.")
     print(f"[Val]   {len(val_ds)} samples." if val_ds is not None else "[Val]   (disabled: no val_split provided)")
@@ -388,7 +428,10 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
         if not is_main:
             return
         save_dir = Path(args.ckpt_dir) / subdir
-        model.save_lora_weights(merge_params(base_params, lora_params), save_dir)
+        # adapters only: merging the frozen base in would force
+        # lora_state_dict to walk (and with a sharded base, device_get)
+        # the full transformer tree per save just to discard it
+        model.save_lora_weights(lora_params, save_dir)
         write_lora_metadata(
             save_dir,
             model_id=str(args.pretrained_model_name_or_path),
@@ -399,7 +442,8 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
         )
         # Beyond-parity resume state (reference LoRA stage is save-only,
         # flux_kontext_textalpha_lora.py:315-323): optimizer state + RNG key
-        # alongside the peft-format adapters.
+        # alongside the peft-format adapters. Written LAST — this file is
+        # the commit marker `resume_from: auto` keys on.
         resume_state = {"opt_state": host_opt, "key": jax.device_get(key)}
         (save_dir / "train_state.msgpack").write_bytes(serialization.to_bytes(resume_state))
         print(f"[ckpt] saved LoRA weights to {save_dir}")
@@ -413,14 +457,9 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
 
     resume_dir = getattr(args, "resume_from", None)
     if resume_dir == "auto":
-        root = Path(args.ckpt_dir)
-        candidates = sorted(
-            (p for p in root.glob("checkpoint-*") if p.is_dir()),
-            key=lambda p: int(p.name.rsplit("-", 1)[1]),
-        ) if root.exists() else []
-        resume_dir = candidates[-1] if candidates else None
+        resume_dir = latest_complete_lora_checkpoint(Path(args.ckpt_dir))
         if resume_dir is None:
-            print("[resume] resume_from: auto — no checkpoint found, starting fresh")
+            print("[resume] resume_from: auto — no complete checkpoint found, starting fresh")
     if resume_dir:
         from ragb_vae_tpu.models.flux_kontext_textalpha import read_lora_metadata
         from ragb_vae_tpu.models.flux_weights import peft_state_to_lora_params
@@ -461,6 +500,15 @@ def train(args: argparse.Namespace) -> Dict[str, float]:
     guard = PreemptionGuard(
         enabled=preemption_enabled({"handle_preemption": getattr(args, "handle_preemption", True)})
     )
+    if len(train_dl) == 0:
+        # an empty index stream (split typo, batch_size larger than every
+        # bucket with drop_last, empty dataset) would make the while loop
+        # below spin epochs forever without a step — fail loudly instead
+        raise ValueError(
+            f"training dataloader yields no batches: {len(train_ds)} samples "
+            f"in '{args.train_split}' with batch_size={args.batch_size}, "
+            f"drop_last={args.drop_last or n_proc > 1}"
+        )
     with guard:
       while total_steps < args.max_train_steps and not preempted:
         train_dl.set_epoch(epoch)

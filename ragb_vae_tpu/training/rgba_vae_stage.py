@@ -77,11 +77,23 @@ def log_batch_and_buckets(
     train_loader: Optional[DataLoader],
 ) -> None:
     """Startup diagnostics (reference `_log_batch_and_buckets`,
-    rgba_vae_stage.py:51-82): effective batch math + top-5 bucket occupancy."""
-    effective = batch_size * grad_accum * num_devices
+    rgba_vae_stage.py:51-82): effective batch math + top-5 bucket occupancy.
+
+    Semantics differ from the reference and the print must not pretend
+    otherwise: HERE one loader batch of `data.batch_size` rows is one
+    optimizer step — grad_accum splits it into microbatches and the mesh
+    shards it, so the per-step effective batch IS data.batch_size. In the
+    reference, data.batch_size is per-device and accumulate() spans accum
+    loader batches (effective = batch x accum x world). MIGRATING.md
+    documents the mapping (set batch_size = ref_batch x accum x world to
+    reproduce reference dynamics)."""
+    per_slice = batch_size / max(grad_accum * num_devices, 1)
     print(
-        f"[RGBA-VAE] batch/device {batch_size} x grad_accum {grad_accum} "
-        f"x devices {num_devices} = effective batch {effective}"
+        f"[RGBA-VAE] effective batch/step = data.batch_size = {batch_size} "
+        f"(split into {grad_accum} microbatch(es) over {num_devices} "
+        f"device(s): {per_slice:g} rows per device-microbatch; reference"
+        f"-equivalent config would be batch/device "
+        f"{batch_size}/accum/devices — see MIGRATING.md)"
     )
     dataset = getattr(train_loader, "dataset", None)
     buckets = getattr(dataset, "bucket_to_indices", None)
@@ -119,6 +131,16 @@ def build_dataloader(cfg: Dict[str, Any], *, split: Optional[str] = None) -> Dat
             )
         shard_kwargs = {"process_shard": (jax.process_index(), n_proc)}
         force_drop_last = True
+        if seed is None:
+            # the sharding contract above REQUIRES a shared index stream;
+            # with seed=None every host would shuffle with independent OS
+            # entropy and silently assemble rows of different logical
+            # batches. Pin a deterministic default instead of desyncing.
+            seed = 0
+            print(
+                "[data] multi-host input sharding with no data.seed — "
+                "defaulting to seed=0 so all hosts iterate one index stream"
+            )
 
     if source == "bucket":
         dataset_kwargs = data_cfg.get("dataset_kwargs", {"include_metadata": False})

@@ -151,3 +151,38 @@ def test_empty_prompt_cache_round_trip(tmp_path):
     np.testing.assert_array_equal(prompt, p2)
     np.testing.assert_array_equal(pooled, po2)
     np.testing.assert_array_equal(ids, ids2)
+
+
+def test_scheduler_step_requires_set_timesteps():
+    """The __init__ schedule has no trailing sigma=0; stepping it would
+    silently clamp the final gather into a no-op (regression guard)."""
+    import jax.numpy as jnp
+
+    sched = FlowMatchEulerScheduler()
+    x = jnp.zeros((1, 4))
+    with pytest.raises(ValueError, match="set_timesteps"):
+        sched.step(x, 0, x)
+    sched.set_timesteps(4, mu=1.0)
+    out = sched.step(x, 3, x)  # last index steps onto the appended 0
+    assert out.shape == x.shape
+
+
+def test_latest_complete_lora_checkpoint(tmp_path):
+    """auto-resume must skip a crash-truncated (uncommitted) checkpoint."""
+    from ragb_vae_tpu.training.flux_kontext_textalpha_lora import (
+        latest_complete_lora_checkpoint,
+    )
+
+    assert latest_complete_lora_checkpoint(tmp_path / "nope") is None
+    root = tmp_path / "ckpts"
+    for step, complete in [(3, True), (5, False)]:
+        d = root / f"checkpoint-{step}"
+        d.mkdir(parents=True)
+        (d / "pytorch_lora_weights.safetensors").write_bytes(b"x")
+        if complete:
+            (d / "train_state.msgpack").write_bytes(b"x")
+    picked = latest_complete_lora_checkpoint(root)
+    assert picked is not None and picked.name == "checkpoint-3"
+    # once step 5's commit marker lands, it wins
+    (root / "checkpoint-5" / "train_state.msgpack").write_bytes(b"x")
+    assert latest_complete_lora_checkpoint(root).name == "checkpoint-5"
