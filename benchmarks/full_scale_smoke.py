@@ -106,6 +106,12 @@ def main() -> None:
         f"{host_bytes/2**30:.2f} GiB in {t_build:.0f}s"
     )
 
+    # one-time transfer, timed separately — jit would otherwise re-ship the
+    # host-numpy tree on every call (11.1 GiB through the tunnel each time)
+    t0 = time.perf_counter()
+    t_params = jax.block_until_ready(jax.device_put(t_params))
+    print(f"[{backend}] params -> device: {time.perf_counter() - t0:.0f}s")
+
     vae_params = jax.tree_util.tree_map(
         lambda x: x.astype(dtype), vae.init_params(jax.random.PRNGKey(2), image_size=64)
     )

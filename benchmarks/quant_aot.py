@@ -46,12 +46,12 @@ from ragb_vae_tpu.models.vae_config import AutoencoderConfig
 SIZE = 512
 STEPS = 20
 TEXT_SEQ = 512
-BLOCKS = {"mid": (4, 8), "full": (19, 38)}
+BLOCKS = {"tiny": (1, 2), "mid": (4, 8), "full": (19, 38)}
 
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--blocks", choices=["mid", "full"], default="mid")
+    p.add_argument("--blocks", choices=["tiny", "mid", "full"], default="mid")
     p.add_argument("--steps", type=int, default=STEPS)
     args = p.parse_args()
     nl, ns = BLOCKS[args.blocks]
@@ -138,9 +138,6 @@ def main() -> None:
         compiled = jax.jit(sample).lower(t, vae_abs, gt_abs, key_abs).compile()
         return compiled.memory_analysis(), time.perf_counter() - t0
 
-    mem, dt = compile_mode(model, t_abs)
-    mem_plain, dt_plain = compile_mode(make_model("none"), t_abs_plain)
-
     int8_arg_bytes = sum(
         np.prod(s.shape)
         * (1 if s.dtype == jnp.int8 else (4 if s.dtype == jnp.float32 else 2))
@@ -148,16 +145,42 @@ def main() -> None:
     )
     n_params = sum(int(np.prod(s.shape)) for s in jax.tree_util.tree_leaves(shapes))
     bf16_bytes = 2 * n_params
-    print(f"compiled int8 in {dt:.1f}s, plain in {dt_plain:.1f}s "
-          f"on {jax.default_backend()}")
     print(f"transformer params: {n_params/1e9:.2f} B "
           f"(int8 tree {int8_arg_bytes/2**30:.2f} GiB, bf16 "
-          f"{bf16_bytes/2**30:.2f} GiB)")
-    for name, m in (("int8 ", mem), ("plain", mem_plain)):
+          f"{bf16_bytes/2**30:.2f} GiB)", flush=True)
+
+    def report(name, m):
         total = m.argument_size_in_bytes + m.output_size_in_bytes + m.temp_size_in_bytes
         print(f"{name}: args {m.argument_size_in_bytes/2**30:6.2f} GiB | "
               f"temps {m.temp_size_in_bytes/2**30:6.2f} GiB | "
-              f"total {total/2**30:6.2f} GiB")
+              f"total {total/2**30:6.2f} GiB", flush=True)
+
+    # int8 first, and report it IMMEDIATELY: at full scale on a 16 GiB
+    # target the plain-bf16 compile below can fail outright (22 GiB of
+    # weight arguments cannot be allocated), and the int8 analysis — the
+    # half that matters — must not be lost with it.
+    mem, dt = compile_mode(model, t_abs)
+    print(f"compiled int8 in {dt:.1f}s on {jax.default_backend()}", flush=True)
+    report("int8 ", mem)
+
+    try:
+        mem_plain, dt_plain = compile_mode(make_model("none"), t_abs_plain)
+    except Exception as exc:  # device-capacity compile failure is itself data
+        print(f"plain bf16 compile FAILED on {jax.default_backend()} "
+              f"({type(exc).__name__}): the {bf16_bytes/2**30:.2f} GiB "
+              "full-precision program cannot even be built for this device — "
+              "weight-only int8 is the only single-chip form at this scale.")
+        # hoisting check without the plain baseline: hoisted dequants would
+        # put ~the whole bf16 tree into temps.
+        if mem.temp_size_in_bytes > 0.5 * bf16_bytes:
+            print("dequant hoisting: DETECTED — mitigation needed")
+        else:
+            print(f"dequant hoisting: not detected (int8 temps "
+                  f"{mem.temp_size_in_bytes/2**30:.2f} GiB << bf16 tree "
+                  f"{bf16_bytes/2**30:.2f} GiB)")
+        return
+    print(f"compiled plain in {dt_plain:.1f}s", flush=True)
+    report("plain", mem_plain)
     delta = mem.temp_size_in_bytes - mem_plain.temp_size_in_bytes
     print(f"int8 temp delta vs plain: {delta/2**30:+.2f} GiB "
           f"(hoisted-dequant signature would be ~+{bf16_bytes/2**30:.2f} GiB)")

@@ -121,6 +121,16 @@ def main() -> None:
     results = {}
     for batch in args.batches:
         model, t_params, vae_params, gt = build(batch, blocks=blocks, quant=args.quant)
+        # The int8 tree is built HOST-side (numpy). jit does not cache
+        # transfers of numpy arguments — without an explicit device_put the
+        # timed loop re-ships the full 11.10 GiB tree through the tunnel on
+        # EVERY call (measured: 818 s/batch instead of seconds). Put once,
+        # time it, and hand the loop device-resident arrays.
+        t0 = time.perf_counter()
+        t_params = jax.block_until_ready(jax.device_put(t_params))
+        t_put = time.perf_counter() - t0
+        if t_put > 1.0:
+            print(f"params -> device: {t_put:.1f} s (one-time)")
 
         @jax.jit
         def sample(t_params, vae_params, gt, key):

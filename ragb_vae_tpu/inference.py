@@ -124,6 +124,7 @@ def run(args: argparse.Namespace) -> None:
             lora_alpha=float(args.lora_alpha),
         )
         stage_params = pipe.place_params(t_params)
+        vae_params = jax.device_put(vae_params)
 
         def run_sample(t_params_unused, vae_params, batch, key):
             return pipelined_sample(
@@ -136,7 +137,10 @@ def run(args: argparse.Namespace) -> None:
             sharded_sample_fn,
         )
 
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         t_params, t_shardings = shard_transformer_params(t_params, mesh)
+        vae_params = jax.device_put(vae_params, NamedSharding(mesh, P()))
         tp_sample = sharded_sample_fn(
             model, mesh, num_inference_steps=args.steps, shardings=t_shardings
         )
@@ -144,6 +148,12 @@ def run(args: argparse.Namespace) -> None:
         def run_sample(t_params, vae_params, batch, key):
             return tp_sample(t_params, vae_params, batch, key)
     else:
+        # place once: checkpoints load as host numpy, and jit re-transfers
+        # numpy arguments on EVERY call — in batch mode that re-ships the
+        # whole transformer tree (11.1 GiB at full-scale int8) per chunk
+        t_params = jax.device_put(t_params)
+        vae_params = jax.device_put(vae_params)
+
         def run_sample(t_params, vae_params, batch, key):
             return model.sample(
                 t_params, vae_params, batch, num_inference_steps=args.steps, key=key
