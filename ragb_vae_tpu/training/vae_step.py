@@ -140,8 +140,8 @@ def vae_loss_fn(
     return total, metrics
 
 
-def host_offload_shardings(shardings: PyTree, example: PyTree) -> PyTree:
-    """`memory_kind="pinned_host"` variant of a NamedSharding pytree.
+def memory_kind_shardings(shardings: PyTree, example: PyTree, kind: str) -> PyTree:
+    """NamedSharding pytree with `memory_kind=kind` on non-scalar leaves.
 
     Scalar leaves (optax step counts) stay in device memory — transferring
     a 4-byte counter buys nothing and some backends reject host scalars in
@@ -151,10 +151,15 @@ def host_offload_shardings(shardings: PyTree, example: PyTree) -> PyTree:
 
     def f(s, ex):
         if getattr(ex, "ndim", 0) >= 1:
-            return NamedSharding(s.mesh, s.spec, memory_kind="pinned_host")
+            return NamedSharding(s.mesh, s.spec, memory_kind=kind)
         return s
 
     return jax.tree_util.tree_map(f, shardings, example)
+
+
+def host_offload_shardings(shardings: PyTree, example: PyTree) -> PyTree:
+    """`memory_kind="pinned_host"` variant of a NamedSharding pytree."""
+    return memory_kind_shardings(shardings, example, "pinned_host")
 
 
 def make_train_step(
@@ -234,8 +239,24 @@ def make_train_step(
         raise ValueError("offload_opt_state requires opt_state_example")
     host_shardings = host_offload_shardings(opt_shardings, opt_state_example)
     if jax.default_backend() == "tpu":
+        # The compiled program cannot compute on pinned_host operands
+        # (mixing memory spaces in an op is a compile error — found live
+        # on the tunneled v5e, benchmarks/logs/r4/offload_512.log): the
+        # moments must be DMA'd into device memory inside the step and
+        # parked back out before it returns. device_put inside jit lowers
+        # to exactly those transfers, which XLA schedules around the
+        # update compute.
+        dev_shardings = memory_kind_shardings(
+            opt_shardings, opt_state_example, "device"
+        )
+
+        def tpu_offloaded_step(params, opt_state, batch, key):
+            opt_state = jax.device_put(opt_state, dev_shardings)
+            params, opt_state, metrics = step(params, opt_state, batch, key)
+            return params, jax.device_put(opt_state, host_shardings), metrics
+
         return jax.jit(
-            step,
+            tpu_offloaded_step,
             in_shardings=(rep, host_shardings, bsh, rep),
             out_shardings=(rep, host_shardings, rep),
             donate_argnums=(0, 1) if donate else (),
