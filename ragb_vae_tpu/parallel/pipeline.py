@@ -439,3 +439,324 @@ def pipelined_sample(
         (latents / model.scaling_factor + model.shift_factor).astype(model.dtype),
     )
     return jnp.clip((decoded.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-parallel TRAINING (GPipe microbatch backward, VERDICT r3 item 6)
+# ---------------------------------------------------------------------------
+#
+# The forward pipeline above covers serving; this section adds the LoRA
+# training step: microbatches stream forward through the stages (storing
+# only each stage's INPUT carrier), then backward in reverse stage order
+# with the stage forward recomputed inside each backward program (GPipe
+# with full rematerialization — the standard TPU memory/compute trade).
+# Per boundary the backward moves one carrier cotangent, device-to-device,
+# exactly mirroring the forward's activation hop; there are still no
+# collectives. The frozen base never takes gradients (LoRA fine-tune,
+# reference trains adapters only: src/training/flux_kontext_textalpha_lora.py),
+# so each stage's backward differentiates w.r.t. its lora leaves + carrier.
+#
+# Loss semantics mirror FluxTextAlphaModel.compute_loss_from_latents
+# bit-for-bit: the global loss is sum_mb(weighted per-sample sums) /
+# sum(weights); each microbatch contributes the NUMERATOR (and its grads),
+# and the single division by the global weight sum happens at the end —
+# so microbatch composition cannot perturb the weighted mean.
+
+
+def _stage_train_fns(pipe: "PipelinedFluxTransformer"):
+    """Per-stage (fwd, bwd) jitted programs for GPipe training.
+
+    fwd(base, lora, *carrier, *consts) -> carrier_out (or pred for the last
+    stage); bwd(...) additionally takes the output cotangent and returns
+    (lora_grads, carrier_cotangent), recomputing the forward inside the
+    program (rematerialization) so the forward pass never stores residuals.
+    """
+    from ragb_vae_tpu.models.flux_weights import merge_params
+
+    fns = []
+    for stage in pipe.stages:
+
+        def make(stage):
+            def apply(base, lora, img, txt, temb, pooled, ts, g, img_ids, txt_ids):
+                return stage.apply(
+                    {"params": merge_params(base, lora)},
+                    img, txt, temb, pooled, ts, g, img_ids, txt_ids,
+                )
+
+            def bwd(base, lora, img, txt, temb, pooled, ts, g, img_ids,
+                    txt_ids, cot):
+                def f(lora, img, txt, temb):
+                    return apply(base, lora, img, txt, temb, pooled, ts, g,
+                                 img_ids, txt_ids)
+
+                _, vjp = jax.vjp(f, lora, img, txt, temb)
+                g_lora, g_img, g_txt, g_temb = vjp(cot)
+                return g_lora, (g_img, g_txt, g_temb)
+
+            return jax.jit(apply), jax.jit(bwd)
+
+        fns.append(make(stage))
+    return fns
+
+
+def _loss_cot_fn(seq_cond: int, latent_h: int, latent_w: int):
+    """Jitted (numerator, d numerator / d pred) for one microbatch.
+
+    numerator = sum_i w_i * mean(weighting_i * (pred_target_i - target_i)^2);
+    the caller divides by the GLOBAL weight sum once, after accumulation.
+    """
+    from ragb_vae_tpu.ops.packing import unpack_latents
+
+    @jax.jit
+    def f(pred, loss_target, weighting, w):
+        def num(pred):
+            pred_target = unpack_latents(
+                pred[:, seq_cond:, :].astype(jnp.float32), latent_h, latent_w
+            )
+            per_sample = jnp.mean(
+                (weighting * (pred_target - loss_target) ** 2).reshape(
+                    pred.shape[0], -1
+                ),
+                axis=1,
+            )
+            return jnp.sum(per_sample * w)
+
+        return jax.value_and_grad(num)(pred)
+
+    return f
+
+
+def pipelined_lora_loss_and_grads(
+    pipe: "PipelinedFluxTransformer",
+    stage_base: List[PyTree],
+    stage_lora: List[PyTree],
+    *,
+    hidden_states: Array,
+    encoder_hidden_states: Array,
+    pooled_projections: Array,
+    timestep: Array,
+    img_ids: Array,
+    txt_ids: Array,
+    guidance: Optional[Array],
+    loss_target: Array,   # (B, h, w, C) = noise - target_latent
+    weighting: Array,     # (B, 1, 1, 1) SD3 sigma weighting
+    weights: Array,       # (B,) sample weights (padding -> 0)
+    seq_cond: int,
+    latent_h: int,
+    latent_w: int,
+    microbatch: int = 1,
+    _fns=None,
+):
+    """GPipe fwd+bwd over the stages; returns (loss, per-stage lora grads).
+
+    Grads are the gradient of the SAME weighted-batch-mean loss
+    `compute_loss_from_latents` defines, living on each stage's device.
+    """
+    b = hidden_states.shape[0]
+    if b % microbatch:
+        raise ValueError(f"batch {b} not divisible by microbatch {microbatch}.")
+    n_mb = b // microbatch
+    n_stages = pipe.n_stages
+    fns = _fns if _fns is not None else _stage_train_fns(pipe)
+    loss_fn = _loss_cot_fn(seq_cond, latent_h, latent_w)
+    devs = pipe.devices
+
+    def consts_for(s: int, sl: slice):
+        dev = devs[s]
+        g = guidance[sl] if guidance is not None else None
+        return (
+            pipe._put_cached(pooled_projections[sl], dev)
+            if n_mb == 1 else jax.device_put(pooled_projections[sl], dev),
+            jax.device_put(timestep[sl], dev),
+            None if g is None else jax.device_put(g, dev),
+            pipe._put_cached(img_ids, dev),
+            pipe._put_cached(txt_ids, dev),
+        )
+
+    # ---- forward: store each stage's INPUT carrier per microbatch ----
+    carriers = [[None] * n_stages for _ in range(n_mb)]  # [mb][stage]
+    preds = [None] * n_mb
+    for m in range(n_mb):
+        sl = slice(m * microbatch, (m + 1) * microbatch)
+        temb0 = jnp.zeros((microbatch, pipe.config.inner_dim), pipe.dtype)
+        carrier = (hidden_states[sl], encoder_hidden_states[sl], temb0)
+        for s in range(n_stages):
+            carrier = jax.device_put(carrier, devs[s])
+            carriers[m][s] = carrier
+            out = fns[s][0](stage_base[s], stage_lora[s], *carrier,
+                            *consts_for(s, sl))
+            carrier = out
+        preds[m] = out
+
+    # ---- loss numerator + pred cotangent per microbatch (last device) ----
+    nums, cots = [], []
+    last = devs[-1]
+    for m in range(n_mb):
+        sl = slice(m * microbatch, (m + 1) * microbatch)
+        num, cot = loss_fn(
+            preds[m],
+            jax.device_put(loss_target[sl], last),
+            jax.device_put(weighting[sl], last),
+            jax.device_put(weights[sl], last),
+        )
+        nums.append(num)
+        cots.append(cot)
+
+    # ---- backward: reverse stage order, accumulate lora grads in place ----
+    grads: List[PyTree] = [None] * n_stages
+    for m in range(n_mb):
+        sl = slice(m * microbatch, (m + 1) * microbatch)
+        cot = cots[m]
+        for s in range(n_stages - 1, -1, -1):
+            cot = jax.device_put(cot, devs[s])
+            g_lora, cot = fns[s][1](
+                stage_base[s], stage_lora[s], *carriers[m][s],
+                *consts_for(s, sl), cot,
+            )
+            grads[s] = g_lora if grads[s] is None else jax.tree_util.tree_map(
+                jnp.add, grads[s], g_lora
+            )
+
+    # ---- the single global division of the weighted mean ----
+    den = jnp.maximum(jnp.sum(weights.astype(jnp.float32)), 1e-8)
+    loss = sum(jax.device_put(n, devs[-1]) for n in nums) / jax.device_put(den, devs[-1])
+    grads = [
+        jax.tree_util.tree_map(
+            lambda g: g / jax.device_put(den, devs[s]), grads[s]
+        )
+        for s in range(n_stages)
+    ]
+    return loss, grads
+
+
+class PipelineLoraTrainer:
+    """LoRA training with the frozen FLUX base pipeline-sharded.
+
+    The missing training half of `PipelinedFluxTransformer`: stages hold
+    the (frozen) base shards, the per-stage LoRA adapters + their AdamW
+    state live on the same devices, and each step runs the GPipe
+    microbatched forward/backward above. Numerics match the monolithic
+    `compute_loss_from_latents` + optax step exactly
+    (tests/test_pp_training.py).
+
+        trainer = PipelineLoraTrainer(model, pipe, optax.adamw(1e-4))
+        stage_base, stage_lora = trainer.place_params(transformer_params)
+        opt = trainer.init(stage_lora)
+        (stage_lora, opt, loss, stats) = trainer.step(
+            stage_base, stage_lora, opt, cond_latent, target_latent,
+            noise, u, key=None, weights=w, microbatch=2)
+    """
+
+    def __init__(self, model: Any, pipe: "PipelinedFluxTransformer", tx: Any):
+        import optax
+
+        self.model = model
+        self.pipe = pipe
+        self.tx = tx
+        self._fns = _stage_train_fns(pipe)
+        self._upd = jax.jit(
+            lambda g, o, p: self.tx.update(g, o, p), donate_argnums=(1,)
+        )
+        self._apply = jax.jit(optax.apply_updates)
+
+    def place_params(self, params: PyTree) -> Tuple[List[PyTree], List[PyTree]]:
+        """Full transformer tree -> per-device (base, lora) stage shards."""
+        from ragb_vae_tpu.models.flux_weights import split_lora_params
+
+        subtrees = split_transformer_params(params, self.pipe.config, self.pipe.n_stages)
+        base, lora = [], []
+        for sub, dev in zip(subtrees, self.pipe.devices):
+            b, l = split_lora_params(sub)
+            base.append(jax.device_put(b, dev))
+            lora.append(jax.device_put(l, dev))
+        return base, lora
+
+    def init(self, stage_lora: List[PyTree]) -> List[PyTree]:
+        return [
+            jax.device_put(self.tx.init(l), d)
+            for l, d in zip(stage_lora, self.pipe.devices)
+        ]
+
+    def step(
+        self,
+        stage_base: List[PyTree],
+        stage_lora: List[PyTree],
+        opt_states: List[PyTree],
+        cond_latent: Array,
+        target_latent: Array,
+        noise: Array,
+        u: Array,
+        *,
+        weights: Optional[Array] = None,
+        microbatch: int = 1,
+    ):
+        """One GPipe LoRA train step from pre-encoded latents.
+
+        Mirrors `compute_loss_from_latents` preprocessing exactly
+        (models/flux_kontext_textalpha.py:452-501), then the pipelined
+        fwd/bwd, then a per-stage AdamW update on each stage's device.
+        """
+        from ragb_vae_tpu.models.scheduler import compute_loss_weighting_for_sd3
+        from ragb_vae_tpu.ops.packing import pack_latents, prepare_latent_image_ids
+
+        model = self.model
+        bsz = target_latent.shape[0]
+        sched = model._train_sched
+        n_train = model.scheduler.config.num_train_timesteps
+        max_idx = min(len(sched.timesteps) - 1, len(sched.sigmas) - 1)
+        indices = jnp.clip((u * n_train).astype(jnp.int32), 0, max_idx)
+        timesteps = jnp.asarray(sched.timesteps)[indices]
+        sigmas = jnp.asarray(sched.sigmas)[indices].reshape(bsz, 1, 1, 1)
+
+        noisy_target = (1.0 - sigmas) * target_latent + sigmas * noise
+        packed_cond = pack_latents(cond_latent.astype(model.dtype))
+        packed_tgt = pack_latents(noisy_target.astype(model.dtype))
+        packed = jnp.concatenate([packed_cond, packed_tgt], axis=1)
+
+        latent_h, latent_w = target_latent.shape[1], target_latent.shape[2]
+        ids_single = prepare_latent_image_ids(latent_h // 2, latent_w // 2)
+        img_ids = jnp.concatenate([ids_single, ids_single], axis=0)
+
+        prompt = jnp.broadcast_to(
+            model.prompt_embeds, (bsz,) + model.prompt_embeds.shape[1:]
+        ).astype(model.dtype)
+        pooled = jnp.broadcast_to(
+            model.pooled_prompt_embeds, (bsz,) + model.pooled_prompt_embeds.shape[1:]
+        ).astype(model.dtype)
+
+        w = (
+            jnp.ones((bsz,), jnp.float32)
+            if weights is None
+            else weights.astype(jnp.float32)
+        )
+        weighting = compute_loss_weighting_for_sd3(
+            sigmas, weighting_scheme="logit_normal"
+        )
+        loss, grads = pipelined_lora_loss_and_grads(
+            self.pipe, stage_base, stage_lora,
+            hidden_states=packed,
+            encoder_hidden_states=prompt,
+            pooled_projections=pooled,
+            timestep=timesteps / 1000.0,
+            img_ids=img_ids,
+            txt_ids=model.text_ids,
+            guidance=model._guidance(bsz),
+            loss_target=noise - target_latent,
+            weighting=weighting,
+            weights=w,
+            seq_cond=packed_cond.shape[1],
+            latent_h=latent_h,
+            latent_w=latent_w,
+            microbatch=microbatch,
+            _fns=self._fns,
+        )
+        new_lora, new_opt = [], []
+        for s in range(self.pipe.n_stages):
+            updates, o = self._upd(grads[s], opt_states[s], stage_lora[s])
+            new_lora.append(self._apply(stage_lora[s], updates))
+            new_opt.append(o)
+        stats = {
+            "timesteps_mean": jnp.mean(timesteps),
+            "sigmas_mean": jnp.mean(sigmas),
+        }
+        return new_lora, new_opt, loss, stats
