@@ -281,6 +281,11 @@ def train_step_mode(
     dt = time.perf_counter() - t0
     rate = batch * iters / dt
     tag = "lpips" if lpips_fn is not None else "nolpips"
+    if offload:
+        # Distinct metric key: an offload run must not overwrite the
+        # headline train-step row in last_bench.json (it did once —
+        # benchmarks/results.md round-4 offload section).
+        tag += "_offload"
     accum_tag = f" accum {grad_accum}" if grad_accum > 1 else ""
     log(
         f"[bench] train step {height}x{width}px batch {batch} ({tag}){accum_tag}: "
@@ -442,14 +447,27 @@ def main() -> None:
         raise SystemExit("bench failed at every batch size")
 
     log(f"[bench] batch {used_batch}, {args.iters} iters -> {value:.3f} img/s")
-    emit(
-        {
-            "metric": f"rgba_vae_encode_decode_{args.size}px_bf16",
-            "value": round(value, 3),
-            "unit": "img/s/chip",
-            "vs_baseline": round(value / BASELINE_A100_IMG_PER_S, 3),
-        }
-    )
+    payload = {
+        "metric": f"rgba_vae_encode_decode_{args.size}px_bf16",
+        "value": round(value, 3),
+        "unit": "img/s/chip",
+        "vs_baseline": round(value / BASELINE_A100_IMG_PER_S, 3),
+    }
+    # MFU against the chip's bf16 peak (VERDICT round-3 item 4: make the
+    # roofline gap visible per round, not only in results.md prose)
+    try:
+        from ragb_vae_tpu.ops.flops import mfu, vae_forward_flops
+
+        util = mfu(
+            value,
+            vae_forward_flops(config, args.size),
+            getattr(device, "device_kind", ""),
+        )
+        if util is not None:
+            payload["mfu"] = round(util, 4)
+    except Exception as exc:
+        log(f"[bench] mfu unavailable: {exc}")
+    emit(payload)
 
 
 if __name__ == "__main__":
