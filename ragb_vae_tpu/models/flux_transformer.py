@@ -166,10 +166,28 @@ class QDense(nn.Module):
             scale = self.param(
                 "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
             )
-            # dequantize in f32 and round ONCE into the compute dtype: under
-            # bf16 this halves the error vs multiplying two bf16-rounded
-            # operands (the f32 intermediate is one layer's weights, transient)
-            w = (kernel_q.astype(jnp.float32) * scale[None, :]).astype(self.dtype)
+            # Per-OUTPUT-channel scale factors out of the dot:
+            # x @ (q*s) == (x @ q) * s.  int8 magnitudes (<=127) are
+            # exact in bf16, so the dot sees exact weights and the only
+            # rounding is the output's (strictly fewer than dequantize-
+            # then-matmul, which also rounds every weight).  Measured on
+            # v5e (benchmarks/int8_dequant_probe.py): with the scale out
+            # of the dot, XLA fuses the s8->bf16 convert into the dot's
+            # operand load — 4.17 ms vs 4.35 resident-bf16 vs 4.81 the
+            # old dequantize-into-dot at [1536x3072x12288].  Routed
+            # through ops.pallas.int8_matmul (XLA epilogue by default;
+            # an in-register Pallas variant, measured 8% slower here,
+            # stays behind enable()); bias fuses into the epilogue.
+            from ragb_vae_tpu.ops.pallas.int8_matmul import int8_matmul
+
+            bias = (
+                self.param(
+                    "bias", nn.initializers.zeros, (self.features,), jnp.float32
+                )
+                if self.use_bias
+                else None
+            )
+            return int8_matmul(x.astype(self.dtype), kernel_q, scale, bias)
         elif self.weight_quant == "none":
             kernel = self.param(
                 "kernel",
@@ -177,10 +195,9 @@ class QDense(nn.Module):
                 (in_features, self.features),
                 jnp.float32,
             )
-            w = kernel.astype(self.dtype)
+            y = x.astype(self.dtype) @ kernel.astype(self.dtype)
         else:
             raise ValueError(f"Unknown weight_quant mode {self.weight_quant!r}.")
-        y = x.astype(self.dtype) @ w
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32

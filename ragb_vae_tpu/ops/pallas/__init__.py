@@ -4,5 +4,11 @@ Kernels fall back to equivalent XLA implementations off-TPU so the CPU
 test mesh exercises identical numerics.
 """
 from ragb_vae_tpu.ops.pallas.flash_attention import attention, chunked_attention_3d, flash_attention_fwd_3d
+from ragb_vae_tpu.ops.pallas.int8_matmul import int8_matmul
 
-__all__ = ["attention", "chunked_attention_3d", "flash_attention_fwd_3d"]
+__all__ = [
+    "attention",
+    "chunked_attention_3d",
+    "flash_attention_fwd_3d",
+    "int8_matmul",
+]
