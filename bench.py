@@ -6,9 +6,10 @@ Prints ONE JSON line:
 
 The reference publishes no numbers (BASELINE.json `published: {}`); the
 baseline constant below is the A100 estimate for the same Flux-arch VAE
-encode+decode at 1024² in bf16 (~8 img/s: SDXL-class VAE decode ≈
-70-100 ms + encode ≈ 30-40 ms per 1024² image on A100), matching the
-north-star target "matches A100 images/sec/chip".
+encode+decode at 1024² in bf16. Derivation + sensitivity analysis live in
+BASELINE.md ("The A100 comparison constant"): the plausible A100 band is
+7-10 img/s, so vs_baseline 1.17x could read 0.94-1.34x under a different
+estimate — the robust claims are the absolute ms/img and the MFU field.
 """
 from __future__ import annotations
 
@@ -53,6 +54,28 @@ def emit(payload: dict) -> None:
         cache = {}
         if path.exists():
             cache = json.loads(path.read_text())
+        prev = dict(cache.get(payload["metric"], {}))
+        prev.pop("measured_at", None)
+
+        def _same(a: dict, b: dict) -> bool:
+            if set(a) != set(b):
+                return False
+            for k, va in a.items():
+                vb = b[k]
+                if isinstance(va, float) and isinstance(vb, (int, float)):
+                    # within run-to-run noise (the pinned headline band is
+                    # ±0.5%, results.md round 4): not new information
+                    if abs(va - vb) > 0.015 * max(abs(va), abs(vb), 1e-9):
+                        return False
+                elif va != vb:
+                    return False
+            return True
+
+        if _same(prev, payload):
+            # same result up to noise (only the date would change): leave
+            # the file untouched so the driver's round-end bench run stops
+            # dirtying the tree every round (VERDICT round-4 hygiene note)
+            return
         cache[payload["metric"]] = dict(payload, measured_at=time.strftime("%Y-%m-%d"))
         path.write_text(json.dumps(cache, indent=1) + "\n")
     except Exception as exc:  # caching is best-effort

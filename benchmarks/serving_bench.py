@@ -60,6 +60,9 @@ def main() -> None:
     p.add_argument("--requests", type=int, default=32)
     p.add_argument("--clients", type=int, default=8)
     p.add_argument("--max-batch", type=int, default=4)
+    p.add_argument("--no-auto-batch", action="store_true",
+                   help="fixed max_batch (pre-round-5 behavior) instead of "
+                   "the measured per-bucket warmup policy")
     p.add_argument("--max-delay-ms", type=float, default=30.0)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--blocks", choices=["mid", "full"], default="mid")
@@ -87,11 +90,14 @@ def main() -> None:
         steps=args.steps,
         bucket_multiple=64,
         max_pixels=size * size,
+        auto_batch=not args.no_auto_batch,
     )
     server = InferenceServer(model, t_params, vae_params, cfg)
     t0 = time.perf_counter()
     server.warmup([(size, size)])
-    print(f"warmup compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    print(f"warmup compile: {time.perf_counter() - t0:.1f}s "
+          f"(serving batches: {server._bucket_batch or {'*': args.max_batch}})",
+          file=sys.stderr)
 
     rng = np.random.default_rng(0)
     images = [

@@ -112,6 +112,17 @@ class ServeConfig:
     bucket_multiple: int = 64
     max_pixels: int = 1024 * 1024
     request_timeout_s: float = 300.0
+    # Measure-at-warmup batch policy. A fixed max_batch is measured-WORSE
+    # at full FLUX.1 scale: int8 11.9 B serving at batch 4 does 0.149 req/s
+    # with 26.8 s p50 vs batch 1's 0.181 img/s at ~5.5 s — dominated on
+    # BOTH axes, because the transformer is MXU-saturated at b1 (while the
+    # mid-size config needs b4 to win; benchmarks/results.md round-4
+    # serving table). With auto_batch, warmup() times the compiled program
+    # at batch 1 and at max_batch for each bucket and serves that bucket at
+    # the smallest batch within `auto_batch_tol` of the best throughput —
+    # larger batches must BUY their extra latency with real throughput.
+    auto_batch: bool = True
+    auto_batch_tol: float = 0.95
 
 
 @dataclass
@@ -166,6 +177,9 @@ class InferenceServer:
         # (~11.1 GiB for int8 FLUX.1) host-to-device, defeating the
         # resident-process design.
         self.config = config or ServeConfig()
+        # per-bucket serving batch chosen by warmup() under auto_batch;
+        # un-warmed buckets fall back to config.max_batch
+        self._bucket_batch: Dict[Tuple[int, int], int] = {}
         self._queues: Dict[Tuple[int, int], "queue.Queue[_Request]"] = {}
         self._queues_lock = threading.Lock()
         self._wake = threading.Event()
@@ -344,37 +358,75 @@ class InferenceServer:
         self._wake.set()
         return req.future
 
+    def _run_batch(self, images: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+        """Run the compiled serving program on one assembled batch."""
+        import jax.numpy as jnp
+
+        if self._pipe is not None:
+            from ragb_vae_tpu.parallel.pipeline import pipelined_sample_latents
+
+            cond, init, noises = self._prep(
+                self.vae_params, jnp.asarray(images), jnp.asarray(seeds)
+            )
+            lat = pipelined_sample_latents(
+                self.model, self._pipe, self._stage_params, cond, init, noises
+            )
+            return np.asarray(self._decode(self.vae_params, lat))
+        return np.asarray(
+            self._step(
+                self.t_params, self.vae_params, jnp.asarray(images), jnp.asarray(seeds)
+            )
+        )
+
+    def _batch_for(self, bucket: Tuple[int, int]) -> int:
+        return self._bucket_batch.get(bucket, self.config.max_batch)
+
     def warmup(self, sizes: Optional[List[Tuple[int, int]]] = None) -> None:
-        """Pre-compile the serving program for the given bucket sizes.
+        """Pre-compile the serving program for the given bucket sizes, and
+        (auto_batch) pick each bucket's serving batch by measurement.
 
         Cold-start compiles are minutes-long on TPU; a daemon should pay
         them at startup, not on the first request (which would otherwise
-        burn the request's timeout budget on XLA).
+        burn the request's timeout budget on XLA). Under auto_batch the
+        warmup additionally times one settled run at batch 1 and at
+        max_batch and serves the bucket at the smallest batch within
+        `auto_batch_tol` of the best measured throughput — the policy that
+        makes full-scale int8 serve at b1 (throughput AND latency winner)
+        while mid-size keeps b4 (ServeConfig.auto_batch docstring).
         """
-        import jax.numpy as jnp
-
         for size in sizes or [(512, 512)]:
             bucket = snap_size(
                 *size,
                 multiple=self.config.bucket_multiple,
                 max_pixels=self.config.max_pixels,
             )
-            images = np.zeros((self.config.max_batch,) + bucket + (4,), np.float32)
-            seeds = np.zeros((self.config.max_batch,), np.uint32)
-            if self._pipe is not None:
-                from ragb_vae_tpu.parallel.pipeline import pipelined_sample_latents
-
-                cond, init, noises = self._prep(
-                    self.vae_params, jnp.asarray(images), jnp.asarray(seeds)
+            candidates = [self.config.max_batch]
+            if self.config.auto_batch and self.config.max_batch > 1:
+                candidates = [1, self.config.max_batch]
+            rates: Dict[int, float] = {}
+            for b in candidates:
+                images = np.zeros((b,) + bucket + (4,), np.float32)
+                seeds = np.zeros((b,), np.uint32)
+                self._run_batch(images, seeds)  # compile + settle
+                if len(candidates) > 1:
+                    t0 = time.perf_counter()
+                    self._run_batch(images, seeds)
+                    rates[b] = b / (time.perf_counter() - t0)
+            if rates:
+                best = max(rates.values())
+                chosen = min(
+                    b for b in candidates
+                    if rates[b] >= self.config.auto_batch_tol * best
                 )
-                lat = pipelined_sample_latents(
-                    self.model, self._pipe, self._stage_params, cond, init, noises
+                self._bucket_batch[bucket] = chosen
+                print(
+                    f"[serving] bucket {bucket[0]}x{bucket[1]}: "
+                    + ", ".join(
+                        f"b{b} {rates[b]:.3f} img/s" for b in candidates
+                    )
+                    + f" -> serving at batch {chosen}",
+                    flush=True,
                 )
-                self._decode(self.vae_params, lat).block_until_ready()
-            else:
-                self._step(
-                    self.t_params, self.vae_params, jnp.asarray(images), jnp.asarray(seeds)
-                ).block_until_ready()
 
     def start(self) -> "InferenceServer":
         if self._thread is None:
@@ -520,11 +572,11 @@ class InferenceServer:
             if expired:
                 _, bucket, q = max(expired, key=lambda t: t[0])
                 deadlines.pop(bucket, None)
-                return bucket, self._take(q, self.config.max_batch)
+                return bucket, self._take(q, self._batch_for(bucket))
             size, bucket, q = ready[0]
-            if size >= self.config.max_batch:
+            if size >= self._batch_for(bucket):
                 deadlines.pop(bucket, None)
-                return bucket, self._take(q, self.config.max_batch)
+                return bucket, self._take(q, self._batch_for(bucket))
             self._wake.wait(timeout=max(min(deadlines.values()) - now, 1e-3))
             self._wake.clear()
         return None
@@ -540,27 +592,12 @@ class InferenceServer:
         return out
 
     def _launch(self, reqs: List[_Request]) -> None:
-        import jax.numpy as jnp
-
         n = len(reqs)
-        pad = self.config.max_batch - n
+        bucket = (reqs[0].image.shape[0], reqs[0].image.shape[1])
+        pad = max(self._batch_for(bucket), n) - n
         images = np.stack([r.image for r in reqs] + [reqs[0].image] * pad)
         seeds = np.asarray([r.seed for r in reqs] + [0] * pad, dtype=np.uint32)
-        if self._pipe is not None:
-            from ragb_vae_tpu.parallel.pipeline import pipelined_sample_latents
-
-            cond, init, step_noises = self._prep(
-                self.vae_params, jnp.asarray(images), jnp.asarray(seeds)
-            )
-            lat = pipelined_sample_latents(
-                self.model, self._pipe, self._stage_params, cond, init,
-                step_noises,
-            )
-            out = np.asarray(self._decode(self.vae_params, lat))
-        else:
-            out = np.asarray(
-                self._step(self.t_params, self.vae_params, jnp.asarray(images), jnp.asarray(seeds))
-            )
+        out = self._run_batch(images, seeds)
         done = time.monotonic()
         self._batches += 1
         for r, pred in zip(reqs, out[:n]):

@@ -39,7 +39,16 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--lora_alpha", type=int, default=128)
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8418)
-    p.add_argument("--max-batch", type=int, default=4)
+    p.add_argument("--max-batch", type=int, default=4,
+                   help="Upper bound on the serving batch. With auto-batch "
+                   "(default) warmup measures b1 vs this bound per bucket and "
+                   "serves at the smallest batch within 5%% of the best "
+                   "throughput — full-scale int8 picks b1 (b4 is measured-"
+                   "worse on BOTH axes there), mid-size keeps b4 "
+                   "(benchmarks/results.md round-4 serving table).")
+    p.add_argument("--no-auto-batch", action="store_true",
+                   help="Always serve at --max-batch (skip the measured "
+                   "per-bucket batch policy).")
     p.add_argument("--max-delay-ms", type=float, default=30.0)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "fp32"])
@@ -113,7 +122,8 @@ def build_server(args) -> "InferenceServer":
     else:
         model.vae.enable_slicing()
     cfg = ServeConfig(
-        max_batch=args.max_batch, max_delay_ms=args.max_delay_ms, steps=args.steps
+        max_batch=args.max_batch, max_delay_ms=args.max_delay_ms, steps=args.steps,
+        auto_batch=not getattr(args, "no_auto_batch", False),
     )
     pipeline = build_pipelined_transformer(
         model, args.pp, dtype=dtype, weight_quant=args.quant,
