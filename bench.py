@@ -201,6 +201,7 @@ def train_step_mode(
     tile: int = 0,
     fused: bool = False,
     offload: bool = False,
+    remat: bool = True,
 ) -> None:
     """Training-step throughput: the full jitted RGBA-VAE step (triplet
     encode -> posterior split/sample -> decode -> AlphaVAE loss + LPIPS
@@ -240,7 +241,11 @@ def train_step_mode(
     config = AutoencoderConfig.flux()
     config.in_channels = 4
     config.out_channels = 4
-    model = RgbaVAE(config=config, dtype=jnp.bfloat16, remat=True)
+    # remat=False trades HBM for the forward recompute in the backward —
+    # the MFU counts model FLOPs only, so if the measured rate rises with
+    # remat off, the MFU "gap" was partly remat's extra real work
+    # (results.md round-5 per-axis MFU ruling)
+    model = RgbaVAE(config=config, dtype=jnp.bfloat16, remat=remat)
     if fused:
         # forward through the whole-block kernels; the custom VJP replays
         # the XLA composition for gradients (training.fused_kernels knob)
@@ -309,19 +314,40 @@ def train_step_mode(
         # headline train-step row in last_bench.json (it did once —
         # benchmarks/results.md round-4 offload section).
         tag += "_offload"
+    if not remat:
+        tag += "_noremat"  # A/B variant, same cache-poisoning concern
     accum_tag = f" accum {grad_accum}" if grad_accum > 1 else ""
     log(
         f"[bench] train step {height}x{width}px batch {batch} ({tag}){accum_tag}: "
         f"{dt/iters:.3f}s/step -> {rate:.3f} img/s"
     )
-    emit(
-        {
-            "metric": f"rgba_vae_train_step_{height}x{width}px_bf16_{tag}",
-            "value": round(rate, 3),
-            "unit": "img/s/chip",
-            "vs_baseline": round(rate / 1.0, 3),  # no published baseline
-        }
-    )
+    payload = {
+        "metric": f"rgba_vae_train_step_{height}x{width}px_bf16_{tag}",
+        "value": round(rate, 3),
+        "unit": "img/s/chip",
+        "vs_baseline": round(rate / 1.0, 3),  # no published baseline
+    }
+    # MFU vs the analytic model-FLOP walk (fwd + bwd + VGG terms, remat
+    # recompute excluded — ops/flops.py:vae_train_step_flops, verified in
+    # tests/test_flops.py). VERDICT r4 item 1: the training axis gets the
+    # same roofline rigor as the encode/decode headline.
+    try:
+        from ragb_vae_tpu.ops.flops import mfu, vae_train_step_flops
+
+        device = jax.devices()[0]
+        util = mfu(
+            rate,
+            vae_train_step_flops(
+                config, (height, width), lpips=lpips_fn is not None
+            ),
+            getattr(device, "device_kind", ""),
+        )
+        if util is not None:
+            payload["mfu"] = round(util, 4)
+            log(f"[bench] train-step MFU {util:.1%} of bf16 peak")
+    except Exception as exc:
+        log(f"[bench] mfu unavailable: {exc}")
+    emit(payload)
 
 
 def main() -> None:
@@ -359,6 +385,10 @@ def main() -> None:
     parser.add_argument("--optimizer-offload", action="store_true",
                         help="train_step mode: AdamW moments in pinned host "
                         "memory between steps (training.optimizer_offload)")
+    parser.add_argument("--no-remat", action="store_true",
+                        help="train_step mode: disable VAE rematerialization "
+                        "(A/B for the MFU remat-overhead share; needs the "
+                        "extra activation memory to fit)")
     parser.add_argument(
         "--no-fused",
         action="store_true",
@@ -399,7 +429,7 @@ def main() -> None:
             args.batches[0], args.iters, lpips=not args.no_lpips,
             grad_accum=args.grad_accum, slicing=not args.no_slicing,
             tile=args.tile, fused=args.train_fused, lpips_fp32=args.lpips_fp32,
-            offload=args.optimizer_offload,
+            offload=args.optimizer_offload, remat=not args.no_remat,
         )
         return
 

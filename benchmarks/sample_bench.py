@@ -23,6 +23,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:  # full-scale compiles are ~10 min through the tunnel; cache them
+    from ragb_vae_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache(min_compile_time_secs=1.0)
+except Exception:
+    pass
+
 from ragb_vae_tpu.models.flux_kontext_textalpha import FluxTextAlphaModel
 from ragb_vae_tpu.models.flux_transformer import FluxTransformerConfig
 from ragb_vae_tpu.models.rgba_vae import RgbaVAE
@@ -171,18 +178,43 @@ def main() -> None:
         print("no batch completed; nothing to report")
         return
     best = max(results, key=results.get)
-    print(
-        json.dumps(
-            {
-                "metric": f"textalpha_sample_{SIZE}px_{STEPS}step_"
-                f"{'fullscale' if blocks == FULL_BLOCKS else 'midsize'}"
-                f"{'_' + args.quant if args.quant != 'none' else ''}_b{best}",
-                "value": round(results[best], 3),
-                "unit": "img/s/chip",
-                "vs_baseline": 0.0,
-            }
+    payload = {
+        "metric": f"textalpha_sample_{SIZE}px_{STEPS}step_"
+        f"{'fullscale' if blocks == FULL_BLOCKS else 'midsize'}"
+        f"{'_' + args.quant if args.quant != 'none' else ''}_b{best}",
+        "value": round(results[best], 3),
+        "unit": "img/s/chip",
+        "vs_baseline": 0.0,
+    }
+    # MFU vs the analytic sampler walk (one cond encode + STEPS transformer
+    # forwards over the doubled Kontext sequence + one decode; verified vs
+    # XLA cost analysis in tests/test_flops.py). int8 runs the same bf16
+    # MXU ops (the epilogue converts weights in the operand load), so the
+    # bf16 peak is the right denominator.
+    try:
+        from ragb_vae_tpu.models.flux_transformer import FluxTransformerConfig as _C
+        from ragb_vae_tpu.ops.flops import mfu, textalpha_sample_flops
+
+        t_cfg = _C(
+            in_channels=64, num_layers=blocks[0], num_single_layers=blocks[1],
+            attention_head_dim=128, num_attention_heads=24,
+            joint_attention_dim=4096, pooled_projection_dim=768,
+            guidance_embeds=True,
         )
-    )
+        vae_cfg = AutoencoderConfig.flux()
+        vae_cfg.in_channels = 4
+        vae_cfg.out_channels = 4
+        util = mfu(
+            results[best],
+            textalpha_sample_flops(t_cfg, vae_cfg, SIZE, STEPS, TEXT_SEQ),
+            jax.devices()[0].device_kind,
+        )
+        if util is not None:
+            payload["mfu"] = round(util, 4)
+            print(f"sampler MFU {util:.1%} of bf16 peak")
+    except Exception as exc:
+        print(f"mfu unavailable: {exc}")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -72,6 +72,13 @@ def main() -> None:
 
     import jax
 
+    try:  # full-scale compiles are ~10+ min through the tunnel; cache them
+        from ragb_vae_tpu.utils.compilation_cache import enable_compilation_cache
+
+        enable_compilation_cache(min_compile_time_secs=1.0)
+    except Exception:
+        pass
+
     from ragb_vae_tpu.serving import InferenceServer, ServeConfig
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)

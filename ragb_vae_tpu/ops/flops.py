@@ -45,10 +45,17 @@ def _mid_block(h: int, w: int, c: int) -> float:
     return 2 * _resnet(h, w, c, c) + _mid_attention(h, w, c)
 
 
-def vae_encode_flops(config: AutoencoderConfig, size: int) -> float:
+def _hw(size) -> Tuple[int, int]:
+    """Accept an int (square) or an (h, w) tuple (reference bucket shapes)."""
+    if isinstance(size, (tuple, list)):
+        return int(size[0]), int(size[1])
+    return int(size), int(size)
+
+
+def vae_encode_flops(config: AutoencoderConfig, size) -> float:
     """MXU FLOPs for one image of `size`^2 through the encoder."""
     ch = list(config.block_out_channels)
-    h = w = size
+    h, w = _hw(size)
     f = _conv(h, w, config.in_channels, ch[0])
     cin = ch[0]
     for i, cout in enumerate(ch):
@@ -63,11 +70,12 @@ def vae_encode_flops(config: AutoencoderConfig, size: int) -> float:
     return f
 
 
-def vae_decode_flops(config: AutoencoderConfig, size: int) -> float:
+def vae_decode_flops(config: AutoencoderConfig, size) -> float:
     """MXU FLOPs for one latent decoded back to `size`^2."""
     ch = list(reversed(config.block_out_channels))
     n_down = len(ch) - 1
-    h = w = size // (2 ** n_down)
+    h0, w0 = _hw(size)
+    h, w = h0 // (2 ** n_down), w0 // (2 ** n_down)
     f = _conv(h, w, config.latent_channels, ch[0])
     f += _mid_block(h, w, ch[0])
     cin = ch[0]
@@ -82,12 +90,12 @@ def vae_decode_flops(config: AutoencoderConfig, size: int) -> float:
     return f
 
 
-def vae_forward_flops(config: AutoencoderConfig, size: int) -> float:
+def vae_forward_flops(config: AutoencoderConfig, size) -> float:
     """Encode + decode MXU FLOPs per image (the bench.py headline path)."""
     return vae_encode_flops(config, size) + vae_decode_flops(config, size)
 
 
-def vgg16_feature_flops(size: int, in_channels: int = 3) -> float:
+def vgg16_feature_flops(size, in_channels: int = 3) -> float:
     """MXU FLOPs for ONE VGG16 feature pass (13 convs, through relu5_3).
 
     The LPIPS backbone (models/lpips.py:_SLICES): conv pairs at full res,
@@ -102,7 +110,7 @@ def vgg16_feature_flops(size: int, in_channels: int = 3) -> float:
         (3, 512, 512),
     ]
     f = 0.0
-    h = w = size
+    h, w = _hw(size)
     for i, (n, cin, cout) in enumerate(stages):
         if i > 0:
             h, w = h // 2, w // 2
@@ -112,7 +120,7 @@ def vgg16_feature_flops(size: int, in_channels: int = 3) -> float:
 
 
 def vae_train_step_flops(
-    config: AutoencoderConfig, size: int, *, lpips: bool = True
+    config: AutoencoderConfig, size, *, lpips: bool = True
 ) -> float:
     """MODEL MXU FLOPs per image of one RGBA-VAE training step.
 

@@ -46,6 +46,24 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+import os
+
+# Host-only script (torch + file IO; jax only transitively). The axon
+# sitecustomize would open the tunneled-TPU PJRT client at backend init
+# even under JAX_PLATFORMS=cpu and hang when the tunnel is down/busy —
+# strip it for this process's imports AND the export_empty_prompt
+# subprocess (same pattern as tests/conftest.py).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if p and "axon_site" not in p
+)
+# env vars are read too late when sitecustomize preloaded jax — the config
+# update is what actually wins (tests/conftest.py)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 # ---------------------------------------------------------------------------
 # 1. LPIPS
