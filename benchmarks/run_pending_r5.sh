@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-5 TPU measurement queue (run serially against the tunneled chip).
+# Logs tee'd into benchmarks/logs/r5/; transcribe into results.md.
+set -x
+cd "$(dirname "$0")/.."
+LOGDIR=benchmarks/logs/r5
+mkdir -p "$LOGDIR"
+
+timeout 90 python -c "import jax; assert jax.devices()[0].platform=='tpu', jax.devices()" \
+  || { echo "TPU tunnel down — aborting pending run"; exit 1; }
+
+run() { # run <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  timeout "$t" "$@" 2>&1 | tee "$LOGDIR/$name.log"
+}
+
+# 1. train-step remat A/B: is the 44%-MFU gap remat's extra work?
+#    (512^2 microbatch-2 should fit without remat: activations ~4x under
+#    the 1024^2 envelope that measured 22.17G)
+run train_step_noremat 2400 python bench.py --metric train_step --size 512 \
+    --batches 4 --grad-accum 2 --iters 10 --no-remat
+run train_step_remat_ref 2400 python bench.py --metric train_step --size 512 \
+    --batches 4 --grad-accum 2 --iters 10
+
+# 2. VERDICT r4 item 2: full-scale QLoRA training step, measured
+run lora_full_int8 3300 python benchmarks/lora_step_bench.py \
+    --blocks full --quant int8
+
+# 3. full-scale int8 sampling re-measure repeat (epilogue path; compile
+#    now cached by the round-5 run)
+run sample_full_int8_remeasure_rep2 1800 python benchmarks/sample_bench.py \
+    --blocks full --quant int8 --batches 1
+
+# 4. VERDICT r4 item 3: serving bench at full scale through the measured
+#    auto-batch policy (warmup compiles b1 AND b4 programs — long)
+run serving_full_int8_auto 5400 python benchmarks/serving_bench.py \
+    --blocks full --quant int8 --clients 4 --requests 8

@@ -134,6 +134,20 @@ def _xla_epilogue(x: Array, q: Array, scale: Array, bias: Array) -> Array:
     return (y * scale + bias).astype(x.dtype)
 
 
+def _xla_dequant(x: Array, q: Array, scale: Array, bias: Array) -> Array:
+    """The OLD dequantize-into-dot form (rounds every weight to x.dtype;
+    XLA materializes the dequantized tree — measured +10.5% on the ff GEMM).
+    Kept ONLY for same-session A/B benchmarking via RAGB_INT8_FORM=dequant
+    (benchmarks/results.md round-5 epilogue re-measure ruling)."""
+    w = (q.astype(jnp.float32) * scale).astype(x.dtype)
+    y = jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + bias).astype(x.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _int8_matmul(x, q, scale, bias, bm, bn, bk):
     return _int8_matmul_impl(x, q, scale, bias, bm, bn, bk)
@@ -174,6 +188,10 @@ def int8_matmul(
         on_tpu = jax.default_backend() == "tpu" or INTERPRET
     except Exception:
         pass
+    import os
+
+    if os.environ.get("RAGB_INT8_FORM") == "dequant":  # A/B bench knob only
+        return _xla_dequant(x, q, scale, b)
     bm = _pick_block(m, (512, 256, 128))
     bn = _pick_block(n, (1024, 512, 256))
     bk = _pick_block(k, (512, 256, 128))
