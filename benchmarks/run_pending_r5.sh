@@ -23,12 +23,15 @@ run train_step_remat_ref 2400 python bench.py --metric train_step --size 512 \
     --batches 4 --grad-accum 2 --iters 10
 
 # 2. VERDICT r4 item 2: full-scale QLoRA training step, measured
-run lora_full_int8 3300 python benchmarks/lora_step_bench.py \
+run lora_full_int8 4200 python benchmarks/lora_step_bench.py \
     --blocks full --quant int8
 
-# 3. full-scale int8 sampling re-measure repeat (epilogue path; compile
-#    now cached by the round-5 run)
-run sample_full_int8_remeasure_rep2 1800 python benchmarks/sample_bench.py \
+# 3. full-scale int8 sampling re-measure repeat (epilogue path). NOTE:
+#    the persistent XLA compile cache does NOT hit across processes on
+#    the tunneled axon backend (observed round 5: rep2 recompiled the
+#    full ~25 min despite run1's warm cache) — budget every full-scale
+#    run for host-build (~10 min) + upload (~2) + compile (~25) + run
+run sample_full_int8_remeasure_rep2 3300 python benchmarks/sample_bench.py \
     --blocks full --quant int8 --batches 1
 
 # 4. VERDICT r4 item 3: serving bench at full scale through the measured
