@@ -201,7 +201,7 @@ def train_step_mode(
     tile: int = 0,
     fused: bool = False,
     offload: bool = False,
-    remat: bool = True,
+    remat=True,  # True/"all" | "half" | False/"none"
 ) -> None:
     """Training-step throughput: the full jitted RGBA-VAE step (triplet
     encode -> posterior split/sample -> decode -> AlphaVAE loss + LPIPS
@@ -316,6 +316,8 @@ def train_step_mode(
         tag += "_offload"
     if not remat:
         tag += "_noremat"  # A/B variant, same cache-poisoning concern
+    elif remat == "half":
+        tag += "_remathalf"
     accum_tag = f" accum {grad_accum}" if grad_accum > 1 else ""
     log(
         f"[bench] train step {height}x{width}px batch {batch} ({tag}){accum_tag}: "
@@ -389,6 +391,11 @@ def main() -> None:
                         help="train_step mode: disable VAE rematerialization "
                         "(A/B for the MFU remat-overhead share; needs the "
                         "extra activation memory to fit)")
+    parser.add_argument("--remat-mode", choices=["all", "half", "none"],
+                        default=None,
+                        help="train_step mode: checkpoint granularity — "
+                        "'half' remats alternate resnet blocks (half the "
+                        "recompute FLOPs for ~half the activation saving)")
     parser.add_argument(
         "--no-fused",
         action="store_true",
@@ -429,7 +436,9 @@ def main() -> None:
             args.batches[0], args.iters, lpips=not args.no_lpips,
             grad_accum=args.grad_accum, slicing=not args.no_slicing,
             tile=args.tile, fused=args.train_fused, lpips_fp32=args.lpips_fp32,
-            offload=args.optimizer_offload, remat=not args.no_remat,
+            offload=args.optimizer_offload,
+            remat={"all": True, "none": False, "half": "half", None: not args.no_remat}[
+                args.remat_mode if not args.no_remat else "none"],
         )
         return
 

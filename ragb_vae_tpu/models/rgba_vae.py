@@ -57,7 +57,7 @@ class RgbaVAE:
     eb: Tuple[float, float, float] = DEFAULT_EB
     eb2: Tuple[float, float, float] = DEFAULT_EB2
     dtype: jnp.dtype = jnp.float32
-    remat: bool = False
+    remat: Union[bool, str] = False
     # fused=True: ResnetBlocks run as whole-block Pallas kernels with
     # stats/residual epilogues (ops/pallas/resnet_block.py) — the batched
     # single-chip fast path on TPU; param tree is unchanged.
@@ -149,7 +149,7 @@ class RgbaVAE:
         custom_eb: Optional[Sequence[float]] = None,
         custom_eb2: Optional[Sequence[float]] = None,
         dtype: jnp.dtype = jnp.float32,
-        remat: bool = False,
+        remat: Union[bool, str] = False,
     ) -> Tuple["RgbaVAE", dict]:
         """Load an RGB (or already-RGBA) checkpoint, widening to RGBA.
 

@@ -20,7 +20,7 @@ TPU-first choices:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -421,27 +421,45 @@ class MidBlock(nn.Module):
         return x, stats
 
 
+def _block_cls(remat, idx: int):
+    """ResnetBlock class, optionally checkpoint-wrapped for block `idx`.
+
+    remat=True/"all": checkpoint every resnet block — the reference's
+    `enable_gradient_checkpointing` equivalent (full forward recompute in
+    the backward, minimal activation memory).
+    remat="half": checkpoint alternate blocks — half the backward
+    recompute FLOPs for roughly half the activation saving; the sweet
+    spot when full no-remat does not fit the HBM envelope
+    (benchmarks/results.md round-5 MFU ruling).
+    remat=False/"none": save everything.
+    """
+    if remat in (True, "all") or (remat == "half" and idx % 2 == 0):
+        return nn.remat(ResnetBlock)
+    return ResnetBlock
+
+
 class Encoder(nn.Module):
     config: AutoencoderConfig
     dtype: jnp.dtype = jnp.float32
-    remat: bool = False
+    remat: Union[bool, str] = False
     fused: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         cfg = self.config
-        block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(
             x.astype(self.dtype)
         )
         n_blocks = len(cfg.block_out_channels)
         stats = None  # conv_in seeds the chain fresh
+        bi = 0
         for i, out_ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
-                x, stats = block(
+                x, stats = _block_cls(self.remat, bi)(
                     out_ch, cfg.norm_num_groups, self.dtype, self.fused,
                     name=f"down_blocks_{i}_resnets_{j}",
                 )(x, stats)
+                bi += 1
             if i < n_blocks - 1:
                 # stays XLA even on the fused path: the dense-GEMM kernel
                 # wins in isolation but loses e2e (9.24 vs 9.30 img/s b8 —
@@ -470,13 +488,12 @@ class Encoder(nn.Module):
 class Decoder(nn.Module):
     config: AutoencoderConfig
     dtype: jnp.dtype = jnp.float32
-    remat: bool = False
+    remat: Union[bool, str] = False
     fused: bool = False
 
     @nn.compact
     def __call__(self, z: Array) -> Array:
         cfg = self.config
-        block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
         reversed_channels = tuple(reversed(cfg.block_out_channels))
         z = nn.Conv(reversed_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(
             z.astype(self.dtype)
@@ -490,12 +507,14 @@ class Decoder(nn.Module):
             name="mid_block",
         )(z)
         n_blocks = len(reversed_channels)
+        bi = 0
         for i, out_ch in enumerate(reversed_channels):
             for j in range(cfg.layers_per_block + 1):
-                z, stats = block(
+                z, stats = _block_cls(self.remat, bi)(
                     out_ch, cfg.norm_num_groups, self.dtype, self.fused,
                     name=f"up_blocks_{i}_resnets_{j}",
                 )(z, stats)
+                bi += 1
             if i < n_blocks - 1:
                 # fused Upsample re-seeds the chain from its conv epilogue
                 z, stats = Upsample(
@@ -516,7 +535,7 @@ class AutoencoderKL(nn.Module):
 
     config: AutoencoderConfig
     dtype: jnp.dtype = jnp.float32
-    remat: bool = False
+    remat: Union[bool, str] = False
     fused: bool = False
 
     def setup(self):

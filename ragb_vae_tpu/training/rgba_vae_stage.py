@@ -572,7 +572,11 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
         white_bg_weight=model_cfg.get("white_bg_loss_weight", 0.0),
         black_bg_weight=model_cfg.get("black_bg_loss_weight", 0.0),
         dtype=compute_dtype,
-        remat=bool(train_cfg.get("vae_gradient_checkpointing", False)),
+        # bool (reference enable_gradient_checkpointing parity) or the
+        # string "half"/"all"/"none" for selective checkpointing
+        remat=(lambda v: v if isinstance(v, str) else bool(v))(
+            train_cfg.get("vae_gradient_checkpointing", False)
+        ),
     )
     params = jax.device_put(params, replicated(mesh))
 

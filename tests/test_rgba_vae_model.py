@@ -84,3 +84,40 @@ def test_loss_jittable(rgb_checkpoint_dir):
     x = jnp.asarray(np.random.default_rng(5).uniform(size=(1, 32, 32, 4)).astype(np.float32))
     val = step(params, x, jax.random.PRNGKey(0))
     assert np.isfinite(float(val))
+
+
+def test_remat_half_matches_full(rgb_checkpoint_dir):
+    """remat='half' (checkpoint alternate resnet blocks) is a pure
+    memory/recompute schedule choice: identical param tree, identical
+    forward, identical gradients vs remat=True."""
+    from ragb_vae_tpu.models.rgba_vae import RgbaVAE as _RgbaVAE
+
+    config = AutoencoderConfig.tiny()
+    config.in_channels = 4
+    config.out_channels = 4
+    x = jax.random.uniform(jax.random.PRNGKey(7), (2, 32, 32, 4), minval=-1)
+
+    outs, grads = [], []
+    params0 = None
+    for remat in (True, "half", False):
+        model = _RgbaVAE(config=config, remat=remat)
+        params = model.init_params(jax.random.PRNGKey(0), image_size=32)
+        if params0 is None:
+            params0 = params
+        else:
+            assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params0)
+
+        def loss_fn(p):
+            rec, _ = model.forward(p, x, jax.random.PRNGKey(1))
+            return jnp.mean(jnp.square(rec - x))
+
+        l, g = jax.value_and_grad(loss_fn)(params0)
+        outs.append(l)
+        grads.append(g)
+
+    for i in (1, 2):
+        np.testing.assert_allclose(outs[i], outs[0], rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+            grads[i], grads[0],
+        )
