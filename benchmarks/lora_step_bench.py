@@ -208,7 +208,12 @@ def main() -> None:
         try:
             dt, loss = time_step(model, base, lora, batch, iters)
         except Exception as exc:  # OOM at this batch — try smaller
-            print(f"b{batch}: failed ({type(exc).__name__})", flush=True)
+            # Keep the head of the message: chip-HBM OOM, remote-compile
+            # SIGKILL (tunnel-host OOM), and tunnel drops need different
+            # responses (r5: all three batches "failed (JaxRuntimeError)"
+            # with no way to tell which).
+            msg = " ".join(str(exc).split())[:500]
+            print(f"b{batch}: failed ({type(exc).__name__}): {msg}", flush=True)
             continue
         print(
             f"lora step b{batch} ({blocks[0]}+{blocks[1]} blocks, "
