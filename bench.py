@@ -202,6 +202,7 @@ def train_step_mode(
     fused: bool = False,
     offload: bool = False,
     remat=True,  # True/"all" | "half" | False/"none"
+    lpips_remat: bool = True,
 ) -> None:
     """Training-step throughput: the full jitted RGBA-VAE step (triplet
     encode -> posterior split/sample -> decode -> AlphaVAE loss + LPIPS
@@ -235,7 +236,8 @@ def train_step_mode(
         save_torch_state(make_lpips_state(seed=0), tmp)
         # bf16 VGG convs, matching the training stage under mixed precision
         lpips_fn = maybe_build_lpips(
-            tmp, compute_dtype=None if lpips_fp32 else jnp.bfloat16
+            tmp, compute_dtype=None if lpips_fp32 else jnp.bfloat16,
+            remat=lpips_remat,
         )
 
     config = AutoencoderConfig.flux()
@@ -318,6 +320,8 @@ def train_step_mode(
         tag += "_noremat"  # A/B variant, same cache-poisoning concern
     elif remat == "half":
         tag += "_remathalf"
+    if not lpips_remat:
+        tag += "_lpipsres"  # resident VGG slice activations
     accum_tag = f" accum {grad_accum}" if grad_accum > 1 else ""
     log(
         f"[bench] train step {height}x{width}px batch {batch} ({tag}){accum_tag}: "
@@ -396,6 +400,10 @@ def main() -> None:
                         help="train_step mode: checkpoint granularity — "
                         "'half' remats alternate resnet blocks (half the "
                         "recompute FLOPs for ~half the activation saving)")
+    parser.add_argument("--lpips-no-remat", action="store_true",
+                        help="train_step mode: keep VGG slice activations "
+                        "resident instead of recomputing (+2 VGG passes "
+                        "saved; needs the extra activation memory)")
     parser.add_argument(
         "--no-fused",
         action="store_true",
@@ -439,6 +447,7 @@ def main() -> None:
             offload=args.optimizer_offload,
             remat={"all": True, "none": False, "half": "half", None: not args.no_remat}[
                 args.remat_mode if not args.no_remat else "none"],
+            lpips_remat=not args.lpips_no_remat,
         )
         return
 

@@ -109,7 +109,8 @@ def lpips_features(
 
 
 def lpips_distance(
-    pred: Array, target: Array, params: LPIPSParams, *, compute_dtype=None
+    pred: Array, target: Array, params: LPIPSParams, *, compute_dtype=None,
+    remat: bool = True,
 ) -> Array:
     """Per-sample LPIPS distance, inputs NHWC RGB in [-1, 1] -> (B,).
 
@@ -128,8 +129,8 @@ def lpips_distance(
 
     x_in = (pred.astype(jnp.float32) - shift) / scale
     y_in = jax.lax.stop_gradient((target.astype(jnp.float32) - shift) / scale)
-    feats_x = lpips_features(x_in, params, compute_dtype=compute_dtype)
-    feats_y = lpips_features(y_in, params, compute_dtype=compute_dtype)
+    feats_x = lpips_features(x_in, params, compute_dtype=compute_dtype, remat=remat)
+    feats_y = lpips_features(y_in, params, compute_dtype=compute_dtype, remat=remat)
     total = jnp.zeros(pred.shape[0], dtype=jnp.float32)
     for fx, fy, lin in zip(feats_x, feats_y, params.lins):
         fx = fx.astype(jnp.float32)
@@ -192,6 +193,7 @@ def maybe_build_lpips(
     weights_path: Optional[Union[str, Path]],
     *,
     compute_dtype=None,
+    remat: bool = True,
 ) -> Optional[Callable[[Array, Array], Array]]:
     """Build the training-loop perceptual term, or None if unavailable.
 
@@ -205,7 +207,10 @@ def maybe_build_lpips(
     independent, so the values are bitwise those of two separate passes,
     but the TPU sees half the conv launches at twice the batch.
     `compute_dtype=bf16` additionally runs the VGG convs at autocast
-    precision (see lpips_features).
+    precision (see lpips_features). `remat=False` keeps the VGG slice
+    activations resident instead of recomputing them in the backward
+    (+2 VGG forward passes, +1.3 TF/img at 512^2 b4 — results.md round-5
+    MFU ruling); turn it off when the activation envelope fits.
     """
     if not weights_path:
         return None
@@ -222,6 +227,7 @@ def maybe_build_lpips(
             jnp.concatenate([target_black, target_white], axis=0),
             params,
             compute_dtype=compute_dtype,
+            remat=remat,
         )
         loss_black, loss_white = d[:bsz], d[bsz:]
         per_sample = 0.5 * (loss_black + loss_white)

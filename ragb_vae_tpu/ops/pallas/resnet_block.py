@@ -1368,6 +1368,15 @@ def _chain_bwd_impl(x, a, b, w, bias, skip, ws, y, gy, gstats, tile_h, activatio
     scratch.append(pltpu.SemaphoreType.DMA((3, 2)))
 
     vmem = _bwd_vmem_bytes(tile_h, width, c_in, n_out, itemsize, c_skip)
+    # _bwd_vmem_bytes feeds the tile PICK (its 70M budget is tuned on the
+    # measured 512^2/1024^2 shapes — keep choices stable); the scoped
+    # limit must additionally cover the wt input operand and the dW
+    # output block, which the estimate omits. At small-spatial/large-
+    # channel shapes (8x8x512, i.e. 64px training graphs) those fixed
+    # 3*3*C*N terms dominate and the bare 1.5x margin is short: Mosaic
+    # requested 20.35M against a 19.77M limit. At large shapes the same
+    # margin absorbed them, which is why only tiny shapes failed.
+    fixed = 3 * 3 * c_in * n_out * (itemsize + 4)
     kernel = functools.partial(
         _bwd_kernel,
         tile_h=tile_h,
@@ -1385,7 +1394,7 @@ def _chain_bwd_impl(x, a, b, w, bias, skip, ws, y, gy, gstats, tile_h, activatio
         out_shape=tuple(out_shape),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(int(vmem * 1.5) + (2 << 20), 127 * 1024 * 1024),
+            vmem_limit_bytes=min(int((vmem + fixed) * 1.5) + (2 << 20), 127 * 1024 * 1024),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 18 * bsz * height * width * c_in * n_out,

@@ -642,6 +642,10 @@ def train_rgba_vae(cfg: Dict[str, Any]) -> Dict[str, float]:
         lpips_fn = maybe_build_lpips(
             train_cfg.get("lpips_weights"),
             compute_dtype=None if compute_dtype == jnp.float32 else compute_dtype,
+            # training.lpips_remat=false keeps VGG slice activations
+            # resident (skips the backward's 2 recompute passes) when the
+            # envelope fits — see bench.py --lpips-no-remat A/B
+            remat=bool(train_cfg.get("lpips_remat", True)),
         )
         if lpips_fn is None:
             print(

@@ -171,3 +171,36 @@ def test_lpips_bf16_compute_dtype_close_to_fp32(lpips_ckpt):
     assert abs(v32 - v16) / max(abs(v32), 1e-6) < 0.05
     g = jax.grad(lambda p: fn16(p, target).sum())(pred)
     assert float(jnp.linalg.norm(g)) > 0.0
+
+
+def test_lpips_remat_off_matches(lpips_ckpt):
+    """remat=False (resident VGG activations) is a schedule choice only:
+    identical distance values and identical gradients."""
+    import jax
+
+    from ragb_vae_tpu.models.lpips import lpips_distance, maybe_build_lpips
+
+    path, _ = lpips_ckpt
+    params = load_lpips_params(path)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+
+    def d_remat(x):
+        return lpips_distance(x, y, params).sum()
+
+    def d_flat(x):
+        return lpips_distance(x, y, params, remat=False).sum()
+
+    v1, g1 = jax.value_and_grad(d_remat)(x)
+    v2, g2 = jax.value_and_grad(d_flat)(x)
+    np.testing.assert_allclose(v2, v1, rtol=1e-6)
+    np.testing.assert_allclose(g2, g1, rtol=1e-5, atol=1e-7)
+
+    # builder knob reaches the distance call and preserves values
+    pa = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 4)).astype(np.float32))
+    pb = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 4)).astype(np.float32))
+    fn_flat = maybe_build_lpips(path, remat=False)
+    fn_ref = maybe_build_lpips(path)
+    np.testing.assert_allclose(
+        np.asarray(fn_flat(pa, pb)), np.asarray(fn_ref(pa, pb)), rtol=1e-6)
