@@ -287,6 +287,7 @@ def _bare_server(cfg: ServeConfig) -> InferenceServer:
     srv._queues_lock = threading.Lock()
     srv._wake = threading.Event()
     srv._stop = threading.Event()
+    srv._bucket_batch = {}  # per-bucket auto-batch policy (warmup-measured)
     return srv
 
 
