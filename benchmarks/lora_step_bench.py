@@ -214,6 +214,13 @@ def main() -> None:
             # with no way to tell which).
             msg = " ".join(str(exc).split())[:500]
             print(f"b{batch}: failed ({type(exc).__name__}): {msg}", flush=True)
+            # drop the failed batch's executable + any partial allocations
+            # before trying a smaller batch: a b4 HBM OOM can otherwise
+            # poison b2/b1 (dead executables pin donated buffers)
+            import gc
+
+            jax.clear_caches()
+            gc.collect()
             continue
         print(
             f"lora step b{batch} ({blocks[0]}+{blocks[1]} blocks, "
