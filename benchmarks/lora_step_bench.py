@@ -212,7 +212,7 @@ def main() -> None:
             # SIGKILL (tunnel-host OOM), and tunnel drops need different
             # responses (r5: all three batches "failed (JaxRuntimeError)"
             # with no way to tell which).
-            msg = " ".join(str(exc).split())[:500]
+            msg = " ".join(str(exc).split())[:2000]
             print(f"b{batch}: failed ({type(exc).__name__}): {msg}", flush=True)
             # drop the failed batch's executable + any partial allocations
             # before trying a smaller batch: a b4 HBM OOM can otherwise
